@@ -1,0 +1,271 @@
+"""High-level user-facing API: shape engine + option normalization.
+
+Functional parity with the reference's interpol/api.py:
+
+- arbitrary leading batch dimensions on both image and grid, broadcast
+  against each other; optional channel dimension (api.py:93-146)
+- label-map (integer-dtype) soft resampling with argmax reconstruction
+  (api.py:194-205) — including a statically-shaped ``classes`` variant
+  usable under ``jax.jit``
+- spline prefiltering (``prefilter=True`` interpolates the input)
+- grid constructors: ``identity_grid`` / ``add_identity_grid`` /
+  ``affine_grid`` (api.py:467-572); grids are in **voxel coordinates**
+  ``0..n-1``, not torch's normalized [-1, 1]
+- aliases ``pull`` / ``push`` / ``count``
+
+Defaults match the reference signatures exactly
+(interpolation='linear', bound='zero', extrapolate=False, prefilter=False).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..options import normalize_options, to_bound, to_order
+from ..utils.shapes import expanded_shape
+from . import coeff as _coeff
+from . import pushpull as _pp
+
+__all__ = [
+    "grid_pull", "grid_push", "grid_count", "grid_grad",
+    "spline_coeff", "spline_coeff_nd",
+    "identity_grid", "add_identity_grid", "affine_grid",
+    "pull", "push", "count",
+]
+
+
+# ------------------------------------------------- shape engine
+
+def _preproc(grid, inp=None, mode=None):
+    """Broadcast/reshape user layouts ``(..., [C], *sp)`` / ``(..., *sp, D)``
+    to kernel layouts ``(B, C, *sp)`` / ``(B, *sp, D)``
+    (reference api.py:93-130)."""
+    D = grid.shape[-1]
+    if inp is None:
+        spatial = grid.shape[-D - 1:-1]
+        batch = grid.shape[:-D - 1]
+        grid = grid.reshape((-1,) + tuple(spatial) + (D,))
+        info = dict(batch=batch, channel=(1,) if batch else (), dim=D)
+        return grid, info
+
+    grid_spatial = grid.shape[-D - 1:-1]
+    grid_batch = grid.shape[:-D - 1]
+    inp_spatial = inp.shape[-D:]
+    channel = 0 if inp.ndim == D else inp.shape[-D - 1]
+    inp_batch = inp.shape[:-D - 1]
+
+    if mode == "push":
+        grid_spatial = inp_spatial = expanded_shape(grid_spatial, inp_spatial)
+
+    batch = expanded_shape(grid_batch, inp_batch)
+    grid = jnp.broadcast_to(grid, batch + tuple(grid_spatial) + (D,))
+    grid = grid.reshape((-1,) + tuple(grid_spatial) + (D,))
+    inp = jnp.broadcast_to(inp, batch + (channel or 1,) + tuple(inp_spatial))
+    inp = inp.reshape((-1, channel or 1) + tuple(inp_spatial))
+
+    out_channel = (channel,) if channel else ((1,) if batch else ())
+    info = dict(batch=batch, channel=out_channel, dim=D)
+    return grid, inp, info
+
+
+def _postproc(out, info, mode):
+    """Kernel layout back to user layout (reference api.py:133-146)."""
+    D = info["dim"]
+    if mode != "grad":
+        spatial = out.shape[-D:]
+        feat = ()
+    else:
+        spatial = out.shape[-D - 1:-1]
+        feat = (out.shape[-1],)
+    return out.reshape(info["batch"] + info["channel"] + tuple(spatial) + feat)
+
+
+# ------------------------------------------------- main ops
+
+def grid_pull(input, grid, interpolation="linear", bound="zero",
+              extrapolate=False, prefilter=False, *, classes=None):
+    """Sample an image at the positions of a deformation field.
+
+    Parameters (reference api.py:149-212)
+    ----------
+    input : (..., [channel], *inshape) array
+        Image (or label map, if of integer dtype).
+    grid : (..., *outshape, dim) array
+        Sampling positions in voxel coordinates.
+    interpolation : int/str or per-dim sequence, default='linear'
+    bound : int/str or per-dim sequence, default='zero'
+    extrapolate : bool or int {0,1,2='hist'}, default=False
+    prefilter : bool — apply the interpolating prefilter first
+    classes : optional sequence of label values — enables the label-map
+        path with static shapes (usable under jit).  Without it, integer
+        inputs use ``np.unique`` on the host (not traceable).
+
+    Returns
+    -------
+    (..., [channel], *outshape) array
+    """
+    input = jnp.asarray(input)
+    grid = jnp.asarray(grid)
+    D = grid.shape[-1]
+    orders, bounds, ex = normalize_options(interpolation, bound,
+                                           extrapolate, D)
+
+    if classes is not None or not jnp.issubdtype(input.dtype, jnp.inexact):
+        return _label_pull(input, grid, orders, bounds, ex, prefilter,
+                           classes)
+
+    grid, inp, info = _preproc(grid, input)
+    if prefilter:
+        inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
+    out = _pp.pull(inp, grid, orders, bounds, ex)
+    return _postproc(out, info, "pull")
+
+
+def _label_pull(input, grid, orders, bounds, ex, prefilter, classes):
+    """Soft-resample each label and reconstruct by argmax
+    (reference api.py:194-205; fixes the reference's bug where prefilter
+    output clobbered the label volume instead of the soft map)."""
+    if classes is None:
+        classes = np.unique(np.asarray(jax.device_get(input))).tolist()
+    grid, inp, info = _preproc(grid, input)
+    D = grid.shape[-1]
+    fdtype = grid.dtype if jnp.issubdtype(grid.dtype, jnp.floating) \
+        else jnp.float32
+    oshape = inp.shape[:2] + grid.shape[1:-1]
+    out = jnp.zeros(oshape, dtype=input.dtype)
+    pmax = jnp.zeros(oshape, dtype=fdtype)
+    for label in classes:
+        soft = (inp == label).astype(fdtype)
+        if prefilter:
+            soft = _coeff.spline_coeff_nd(soft, orders, bounds, D)
+        soft = _pp.pull(soft, grid, orders, bounds, ex)
+        out = jnp.where(soft > pmax, jnp.asarray(label, input.dtype), out)
+        pmax = jnp.maximum(pmax, soft)
+    return _postproc(out, info, "pull")
+
+
+def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
+              extrapolate=False, prefilter=False):
+    """Splat an image at the positions of a deformation field (pull
+    adjoint).  Reference api.py:215-262."""
+    input = jnp.asarray(input)
+    grid = jnp.asarray(grid)
+    D = grid.shape[-1]
+    orders, bounds, ex = normalize_options(interpolation, bound,
+                                           extrapolate, D)
+    grid, inp, info = _preproc(grid, input, mode="push")
+    if shape is None:
+        shape = tuple(inp.shape[2:])
+    shape = tuple(int(s) for s in shape)
+    out = _pp.push(inp, grid, shape, orders, bounds, ex)
+    if prefilter:
+        out = _coeff.spline_coeff_nd(out, orders, bounds, D)
+    return _postproc(out, info, "push")
+
+
+def grid_count(grid, shape=None, interpolation="linear", bound="zero",
+               extrapolate=False):
+    """Splat unit weights (density of the deformation field).
+    Reference api.py:265-299."""
+    grid = jnp.asarray(grid)
+    D = grid.shape[-1]
+    orders, bounds, ex = normalize_options(interpolation, bound,
+                                           extrapolate, D)
+    grid, info = _preproc(grid)
+    if shape is None:
+        shape = tuple(grid.shape[1:-1])
+    shape = tuple(int(s) for s in shape)
+    out = _pp.count(grid, shape, orders, bounds, ex)
+    return _postproc(out, info, "count")
+
+
+def grid_grad(input, grid, interpolation="linear", bound="zero",
+              extrapolate=False, prefilter=False):
+    """Sample spatial gradients of an image at the positions of a
+    deformation field.  Reference api.py:302-344."""
+    input = jnp.asarray(input)
+    grid = jnp.asarray(grid)
+    D = grid.shape[-1]
+    orders, bounds, ex = normalize_options(interpolation, bound,
+                                           extrapolate, D)
+    grid, inp, info = _preproc(grid, input)
+    if prefilter:
+        inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
+    out = _pp.grad(inp, grid, orders, bounds, ex)
+    return _postproc(out, info, "grad")
+
+
+# ------------------------------------------------- prefilter API
+
+def spline_coeff(input, interpolation="linear", bound="dct2", dim=-1):
+    """Interpolating spline coefficients along one axis
+    (reference api.py:347-395; in-place semantics are meaningless in JAX,
+    so there is no ``inplace`` argument)."""
+    input = jnp.asarray(input)
+    (order,) = to_order(interpolation, 1)
+    (bnd,) = to_bound(bound, 1)
+    return _coeff.spline_coeff(input, order, bnd, axis=dim)
+
+
+def spline_coeff_nd(input, interpolation="linear", bound="dct2", dim=None):
+    """Interpolating spline coefficients along the last ``dim`` axes
+    (reference api.py:398-445)."""
+    input = jnp.asarray(input)
+    if dim is None:
+        dim = input.ndim
+    orders = to_order(interpolation, dim)
+    bounds = to_bound(bound, dim)
+    return _coeff.spline_coeff_nd(input, orders, bounds, dim)
+
+
+# ------------------------------------------------- grid constructors
+
+def identity_grid(shape: Sequence[int], dtype=None) -> jnp.ndarray:
+    """Identity deformation field in voxel coordinates, shape
+    ``(*shape, dim)`` (reference api.py:467-488)."""
+    dtype = dtype or jnp.float32
+    mesh = jnp.meshgrid(*[jnp.arange(s, dtype=dtype) for s in shape],
+                        indexing="ij")
+    return jnp.stack(mesh, axis=-1)
+
+
+def add_identity_grid(disp: jnp.ndarray) -> jnp.ndarray:
+    """Displacement field -> sampling field: add the identity grid
+    (reference api.py:491-533; JAX is functional so only the out-of-place
+    variant exists)."""
+    disp = jnp.asarray(disp)
+    D = disp.shape[-1]
+    spatial = disp.shape[-D - 1:-1]
+    return disp + identity_grid(spatial, dtype=disp.dtype)
+
+
+def affine_grid(mat: jnp.ndarray, shape: Sequence[int]) -> jnp.ndarray:
+    """Dense sampling grid from affine matrices ``(..., D[+1], D+1)``
+    over a ``shape``-sized volume (reference api.py:536-572)."""
+    mat = jnp.asarray(mat)
+    shape = tuple(int(s) for s in shape)
+    D = mat.shape[-1] - 1
+    if D != len(shape):
+        raise ValueError(
+            f"Affine matrix dimension ({D}) does not match shape "
+            f"length ({len(shape)}).")
+    if mat.shape[-2] not in (D, D + 1):
+        raise ValueError(
+            f"Affine matrices must have shape (..., {D}, {D + 1}) or "
+            f"(..., {D + 1}, {D + 1}); got {mat.shape}.")
+    batch = mat.shape[:-2]
+    grid = identity_grid(shape, dtype=mat.dtype)
+    lin = mat[..., :D, :D]       # (..., D, D)
+    off = mat[..., :D, -1]       # (..., D)
+    lin = lin.reshape(batch + (1,) * D + (D, D))
+    off = off.reshape(batch + (1,) * D + (D,))
+    return (lin @ grid[..., None])[..., 0] + off
+
+
+# aliases (reference api.py:461-464)
+pull = grid_pull
+push = grid_push
+count = grid_count

@@ -1,0 +1,304 @@
+"""Interpolating B-spline coefficients (IIR prefilter), TPU-native.
+
+Computes the exact interpolating coefficients c such that sampling the
+spline built on c at integer positions reproduces the input — the classic
+Unser/Thevenaz cascade of first-order causal+anticausal recursions per pole
+[Unser, Aldroubi & Eden, IEEE TSP 41(2), 1993; Unser, IEEE SPM 16(6), 1999],
+with the closed-form initial/final boundary conditions for DCT1 ("mirror"),
+DCT2 ("reflect") and DFT ("wrap").  Capability parity with the reference's
+interpol/coeff.py (poles: coeff.py:34-65, gain: 68-73, boundary conditions:
+82-227, cascade: 257-284, bound aliasing zero->dct1 / replicate->dct2:
+237-254); like the reference, other boundaries raise NotImplementedError.
+
+The TPU-native part is *how* the recursion runs.  The reference executes a
+Python-level sequential loop per element (coeff.py:275-281) — the single
+most accelerator-hostile construct in that codebase.  Here the recurrence
+
+    h[i] = x[i] + p * h[i-1]
+
+is evaluated one *chunk* of K elements at a time with a lower-triangular
+Toeplitz matrix of pole powers, T[i,j] = p^(i-j):
+
+    h_chunk = T @ x_chunk + p^(1..K) * carry ,   carry' = h_chunk[-1]
+
+i.e. a (K x K) matmul on the MXU per chunk, vectorized over every other
+axis (the "lines", which are independent: coeff.py:344-345), and a
+``lax.scan`` of length n/K for the serial dependence.  Because |p| < 1,
+p^K underflows long before K = 128, so the matmul is *exact* in floating
+point; the op does K x more FLOPs than the scalar recursion but those are
+MXU FLOPs against an HBM-bandwidth-bound problem — a single pass over the
+data instead of the log(n) passes of ``associative_scan``.
+
+Differentiation: the filter is linear, so its VJP is its exact transpose,
+obtained with ``jax.linear_transpose`` and encoded as a ``custom_vjp``.
+For dct2/dft boundaries the filter is self-adjoint and this coincides with
+the reference's backward ("apply the same filter to the cotangent",
+autograd.py:299-305); for dct1 the filter is *not* exactly self-adjoint in
+the plain dot product (the mirror extension weights edge samples
+differently), so the reference's backward is a close approximation while
+this one is exact — verified by the adjoint-identity test.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..options import BoundType
+
+__all__ = [
+    "get_poles", "get_gain", "spline_coeff", "spline_coeff_nd",
+]
+
+# Chunk size of the blocked recurrence. 128 matches the MXU/lane width;
+# |pole| <= 0.54 for all orders, so pole^128 ~ 1e-35 == 0 in fp32/fp64 and
+# the truncated Toeplitz block is exact.
+_CHUNK = 128
+
+
+def get_poles(order: int) -> Tuple[float, ...]:
+    """Poles of the direct B-spline filter for each order (Unser 1993 II,
+    Table 1; reference coeff.py:34-65)."""
+    if order in (0, 1):
+        return ()
+    if order == 2:
+        return (math.sqrt(8.) - 3.,)
+    if order == 3:
+        return (math.sqrt(3.) - 2.,)
+    if order == 4:
+        return (
+            math.sqrt(664. - math.sqrt(438976.)) + math.sqrt(304.) - 19.,
+            math.sqrt(664. + math.sqrt(438976.)) - math.sqrt(304.) - 19.,
+        )
+    if order == 5:
+        return (
+            math.sqrt(67.5 - math.sqrt(4436.25)) + math.sqrt(26.25) - 6.5,
+            math.sqrt(67.5 + math.sqrt(4436.25)) - math.sqrt(26.25) - 6.5,
+        )
+    if order == 6:
+        return (
+            -0.488294589303044755130118038883789062112279161239377608394,
+            -0.081679271076237512597937765737059080653379610398148178525368,
+            -0.00141415180832581775108724397655859252786416905534669851652709,
+        )
+    if order == 7:
+        return (
+            -0.5352804307964381655424037816816460718339231523426924148812,
+            -0.122554615192326690515272264359357343605486549427295558490763,
+            -0.0091486948096082769285930216516478534156925639545994482648003,
+        )
+    raise NotImplementedError(f"Unsupported spline order: {order}")
+
+
+def get_gain(poles: Sequence[float]) -> float:
+    """Overall gain of the filter cascade (reference coeff.py:68-73)."""
+    lam = 1.
+    for p in poles:
+        lam *= (1. - p) * (1. - 1. / p)
+    return lam
+
+
+def _horizon(pole: float) -> int:
+    """Truncation horizon: number of terms for |pole|^m < 1e-13
+    (reference coeff.py:85 et al.: ceil(-30 / log|pole|))."""
+    return int(math.ceil(-30. / math.log(abs(pole))))
+
+
+def _powers(pole: float, start: int, stop: int, dtype) -> jnp.ndarray:
+    return jnp.asarray(pole, dtype) ** jnp.arange(start, stop, dtype=dtype)
+
+
+# ------------------------------------------------- boundary conditions
+# All operate on x of shape (L, n) along the last axis and return (L,).
+
+def _dct1_initial(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+    """Mirror boundary, causal init (reference coeff.py:109-149)."""
+    n = x.shape[-1]
+    m = _horizon(pole)
+    if m < n:
+        w = _powers(pole, 0, m, x.dtype)
+        return x[:, :m] @ w
+    polen = pole ** (n - 1)
+    out = x[:, 0] + polen * x[:, -1]
+    if n > 2:
+        k = jnp.arange(1, n - 1, dtype=x.dtype)
+        pk = jnp.asarray(pole, x.dtype) ** k
+        w = pk + (polen * polen) / pk
+        out = out + x[:, 1:-1] @ w
+    return out / (1. - pole ** (2 * (n - 1)))
+
+
+def _dct2_initial(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+    """Reflect boundary, causal init (ported math from scipy ni_splines.c
+    via reference coeff.py:152-179)."""
+    n = x.shape[-1]
+    polen = pole ** n
+    w = _powers(pole, 0, n, x.dtype)
+    w = w + polen * w[::-1]
+    out = (x @ w) * (pole / (1. - polen * polen))
+    return out + x[:, 0]
+
+
+def _dft_initial(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+    """Wrap boundary, causal init (reference coeff.py:82-105)."""
+    n = x.shape[-1]
+    m = min(_horizon(pole), n)
+    # sum_{k=1..m-1} p^k x[n-k]  ==  x[n-m+1 .. n-1] . [p^(m-1) .. p^1]
+    w = _powers(pole, 1, m, x.dtype)[::-1]
+    out = x[:, n - m + 1:] @ w + x[:, 0]
+    return out / (1. - pole ** m)
+
+
+def _dct1_final(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+    """Mirror boundary, anticausal init (reference coeff.py:210-216)."""
+    return (pole * x[:, -2] + x[:, -1]) * (pole / (pole * pole - 1.))
+
+
+def _dct2_final(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+    """Reflect boundary, anticausal init (reference coeff.py:220-227)."""
+    return x[:, -1] * (pole / (pole - 1.))
+
+
+def _dft_final(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+    """Wrap boundary, anticausal init (reference coeff.py:183-206)."""
+    n = x.shape[-1]
+    m = min(_horizon(pole), n)
+    w = _powers(pole, 2, m + 1, x.dtype)
+    out = x[:, :m - 1] @ w[:m - 1] + pole * x[:, -1]
+    return out / (pole ** m - 1.)
+
+
+def _coeff_bound(bound: int) -> str:
+    """Alias interpolation bounds onto the three implemented filter bounds
+    (reference coeff.py:230-254)."""
+    bound = int(bound)
+    if bound in (BoundType.zero, BoundType.dct1):
+        return "dct1"
+    if bound in (BoundType.replicate, BoundType.dct2):
+        return "dct2"
+    if bound == BoundType.dft:
+        return "dft"
+    raise NotImplementedError(
+        "spline_coeff only implements dct1/dct2/dft boundary conditions "
+        f"(and their zero/replicate aliases); got bound={bound}")
+
+
+_INITIAL = {"dct1": _dct1_initial, "dct2": _dct2_initial, "dft": _dft_initial}
+_FINAL = {"dct1": _dct1_final, "dct2": _dct2_final, "dft": _dft_final}
+
+
+# ------------------------------------------------- blocked recurrence
+
+def _chain(x: jnp.ndarray, pole: float, h0: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate h[0] = h0;  h[i] = x[i] + pole*h[i-1]  for i = 1..n-1.
+
+    x: (L, n) — x[:, 0] is ignored (replaced by h0).  Returns (L, n).
+    Blocked Toeplitz-matmul scan; single pass over the data.
+    """
+    L, n = x.shape
+    if n == 1:
+        return h0[:, None]
+    body = x[:, 1:]                                   # (L, n-1) inputs
+    k = min(_CHUNK, n - 1)
+    nchunks = -(-(n - 1) // k)
+    pad = nchunks * k - (n - 1)
+    if pad:
+        body = jnp.pad(body, ((0, 0), (0, pad)))
+    body = body.reshape(L, nchunks, k)
+
+    i = jnp.arange(k)
+    expo = i[:, None] - i[None, :]
+    T = jnp.where(expo >= 0, jnp.asarray(pole, x.dtype) ** expo, 0)
+    carry_pow = _powers(pole, 1, k + 1, x.dtype)      # (k,)
+
+    def step(carry, xc):                              # carry (L,), xc (L, k)
+        h = xc @ T.T + carry[:, None] * carry_pow[None]
+        return h[:, -1], h
+
+    _, hs = jax.lax.scan(step, h0, jnp.swapaxes(body, 0, 1))
+    h = jnp.swapaxes(hs, 0, 1).reshape(L, nchunks * k)[:, :n - 1]
+    return jnp.concatenate([h0[:, None], h], axis=-1)
+
+
+def _filter_lines(x: jnp.ndarray, poles: Sequence[float],
+                  btype: str) -> jnp.ndarray:
+    """Full prefilter cascade along the last axis of (L, n) lines
+    (reference filter(): coeff.py:257-284)."""
+    n = x.shape[-1]
+    if n == 1:
+        return x
+    x = x * jnp.asarray(get_gain(poles), x.dtype)
+    for pole in poles:
+        # causal pass
+        c0 = _INITIAL[btype](x, pole)
+        c = _chain(x, pole, c0)
+        # anticausal pass: d[n-1] = final(c); d[i] = pole*(d[i+1] - c[i])
+        dn = _FINAL[btype](c, pole)
+        rev = (-pole) * c[:, ::-1]
+        d = _chain(rev, pole, dn)
+        x = d[:, ::-1]
+    return x
+
+
+# ------------------------------------------------- public ops
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def spline_coeff(inp: jnp.ndarray, order: int, bound: int,
+                 axis: int = -1) -> jnp.ndarray:
+    """Interpolating spline coefficients along one axis.
+
+    Orders 0/1 are the identity (reference coeff.py:309-310).
+    ``bound`` must be dct1/dct2/dft or a zero/replicate alias.
+    """
+    return _coeff_impl(inp, order, bound, axis)
+
+
+def _coeff_impl(inp, order, bound, axis):
+    if order in (0, 1):
+        return inp
+    btype = _coeff_bound(bound)
+    poles = get_poles(order)
+    axis = axis % inp.ndim
+    x = jnp.moveaxis(inp, axis, -1)
+    shape = x.shape
+    x = x.reshape(-1, shape[-1])
+    x = _filter_lines(x, poles, btype)
+    x = x.reshape(shape)
+    return jnp.moveaxis(x, -1, axis)
+
+
+def _coeff_fwd(inp, order, bound, axis):
+    return _coeff_impl(inp, order, bound, axis), None
+
+
+def _coeff_bwd(order, bound, axis, _, ct):
+    # The filter is linear: the VJP is its exact transpose.  For dct2/dft
+    # the filter is self-adjoint, so the transpose *is* the filter (this is
+    # also the reference's backward for all bounds, autograd.py:299-305).
+    # dct1 is not exactly self-adjoint (mirror extension weights the edge
+    # samples differently), so its transpose is derived by autodiff of the
+    # linear forward — exact where the reference approximates.
+    if order in (0, 1):
+        return (ct,)
+    if _coeff_bound(bound) in ("dct2", "dft"):
+        return (_coeff_impl(ct, order, bound, axis),)
+    f = lambda x: _coeff_impl(x, order, bound, axis)
+    _, pullback = jax.vjp(f, jnp.zeros_like(ct))
+    (dx,) = pullback(ct)
+    return (dx,)
+
+
+spline_coeff.defvjp(_coeff_fwd, _coeff_bwd)
+
+
+def spline_coeff_nd(inp: jnp.ndarray, orders: Sequence[int],
+                    bounds: Sequence[int], ndim: int) -> jnp.ndarray:
+    """Interpolating spline coefficients along the last ``ndim`` axes,
+    one separable sweep per axis (reference coeff.py:316-347)."""
+    out = inp
+    for d in range(ndim):
+        out = spline_coeff(out, orders[d], bounds[d], axis=out.ndim - ndim + d)
+    return out

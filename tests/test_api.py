@@ -1,0 +1,242 @@
+"""High-level API: shape/broadcast engine, option aliases, label maps,
+grid constructors — parity with the reference's api.py semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import interpol_tpu as itp
+
+from _reference import load_reference
+
+
+class TestShapes:
+    def test_no_batch_no_channel(self):
+        img = jnp.zeros((8, 7))
+        grid = jnp.zeros((5, 6, 2)) + 2.0
+        out = itp.grid_pull(img, grid)
+        assert out.shape == (5, 6)
+
+    def test_channel_no_batch(self):
+        img = jnp.zeros((3, 8, 7))
+        grid = jnp.zeros((5, 6, 2)) + 2.0
+        out = itp.grid_pull(img, grid)
+        assert out.shape == (3, 5, 6)
+
+    def test_batch_channel(self):
+        img = jnp.zeros((4, 3, 8, 7))
+        grid = jnp.zeros((4, 5, 6, 2)) + 2.0
+        out = itp.grid_pull(img, grid)
+        assert out.shape == (4, 3, 5, 6)
+
+    def test_broadcast_batches(self):
+        img = jnp.zeros((1, 3, 8, 7))
+        grid = jnp.zeros((4, 5, 6, 2)) + 2.0
+        out = itp.grid_pull(img, grid)
+        assert out.shape == (4, 3, 5, 6)
+
+    def test_multi_batch_dims(self):
+        img = jnp.zeros((2, 4, 3, 8, 7))
+        grid = jnp.zeros((2, 4, 5, 6, 2)) + 2.0
+        out = itp.grid_pull(img, grid)
+        assert out.shape == (2, 4, 3, 5, 6)
+
+    def test_grad_shape(self):
+        img = jnp.zeros((3, 8, 7))
+        grid = jnp.zeros((5, 6, 2)) + 2.0
+        out = itp.grid_grad(img, grid)
+        assert out.shape == (3, 5, 6, 2)
+
+    def test_push_shape(self):
+        img = jnp.zeros((3, 5, 6))
+        grid = jnp.zeros((5, 6, 2)) + 2.0
+        out = itp.grid_push(img, grid, shape=(8, 7))
+        assert out.shape == (3, 8, 7)
+
+    def test_count_shape(self):
+        grid = jnp.zeros((4, 5, 6, 2)) + 2.0
+        out = itp.grid_count(grid, shape=(8, 7))
+        assert out.shape == (4, 1, 8, 7)
+
+
+class TestAgainstReference:
+    def test_full_api_parity(self):
+        load_reference()
+        import torch
+        import interpol as ref
+
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((2, 3, 8, 7))
+        grid = rng.uniform(0, 7, (2, 5, 6, 2))
+        for interpolation in (1, 3):
+            for bound in ("dct2", "zero", "wrap"):
+                for prefilter in (False, True):
+                    r = ref.grid_pull(torch.as_tensor(img),
+                                      torch.as_tensor(grid),
+                                      interpolation=interpolation,
+                                      bound=bound, extrapolate=True,
+                                      prefilter=prefilter).numpy()
+                    j = itp.grid_pull(img, grid,
+                                      interpolation=interpolation,
+                                      bound=bound, extrapolate=True,
+                                      prefilter=prefilter)
+                    # prefiltered results carry the reference filter's own
+                    # fp drift (see test_coeff.py::test_filter_parity)
+                    atol = 1e-7 if prefilter else 1e-9
+                    np.testing.assert_allclose(np.asarray(j), r, atol=atol)
+
+    def test_push_prefilter_parity(self):
+        load_reference()
+        import torch
+        import interpol as ref
+
+        rng = np.random.default_rng(1)
+        img = rng.standard_normal((2, 3, 5, 6))
+        grid = rng.uniform(0, 5, (2, 5, 6, 2))
+        r = ref.grid_push(torch.as_tensor(img), torch.as_tensor(grid),
+                          shape=(8, 7), interpolation=3, bound="dct2",
+                          extrapolate=True, prefilter=True).numpy()
+        j = itp.grid_push(img, grid, shape=(8, 7), interpolation=3,
+                          bound="dct2", extrapolate=True, prefilter=True)
+        np.testing.assert_allclose(np.asarray(j), r, atol=1e-9)
+
+    def test_affine_grid_parity(self):
+        # Unbatched parity only: the reference's *batched* affine_grid is
+        # broken (api.py:565-568 unsqueezes the matrix on the wrong side,
+        # so matvec crashes); our batched path is tested by shape/identity
+        # tests instead.
+        load_reference()
+        import torch
+        import interpol as ref
+
+        rng = np.random.default_rng(2)
+        mat = np.eye(4) + 0.05 * rng.standard_normal((4, 4))
+        mat[3, :3] = 0
+        r = ref.affine_grid(torch.as_tensor(mat), [4, 5, 6]).numpy()
+        j = itp.affine_grid(jnp.asarray(mat), [4, 5, 6])
+        np.testing.assert_allclose(np.asarray(j), r, atol=1e-12)
+
+    def test_affine_grid_batched_matches_loop(self):
+        # batched matrices = stacked unbatched results (capability the
+        # reference documents but crashes on)
+        rng = np.random.default_rng(3)
+        mats = np.eye(3) + 0.05 * rng.standard_normal((4, 3, 3))
+        batched = np.asarray(itp.affine_grid(jnp.asarray(mats), [5, 6]))
+        for k in range(4):
+            single = np.asarray(itp.affine_grid(jnp.asarray(mats[k]),
+                                                [5, 6]))
+            np.testing.assert_allclose(batched[k], single, atol=1e-12)
+
+    def test_identity_grid_parity(self):
+        load_reference()
+        import interpol as ref
+
+        r = ref.identity_grid([3, 4]).numpy()
+        j = itp.identity_grid([3, 4])
+        np.testing.assert_allclose(np.asarray(j), r)
+
+
+class TestOptions:
+    @pytest.mark.parametrize("alias,canonical", [
+        ("reflect", "dct2"), ("mirror", "dct1"), ("circular", "dft"),
+        ("border", "replicate"), ("constant", "zero"),
+        ("antireflect", "dst2"), ("antimirror", "dst1"),
+    ])
+    def test_bound_aliases(self, alias, canonical):
+        rng = np.random.default_rng(3)
+        img = rng.standard_normal((1, 1, 7))
+        grid = rng.uniform(-3, 9, (1, 5, 1))
+        a = itp.grid_pull(img, grid, bound=alias, extrapolate=True)
+        b = itp.grid_pull(img, grid, bound=canonical, extrapolate=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("alias,order", [
+        ("nearest", 0), ("linear", 1), ("quadratic", 2), ("cubic", 3),
+        ("fourth", 4), ("fifth", 5), ("sixth", 6), ("seventh", 7),
+    ])
+    def test_order_aliases(self, alias, order):
+        rng = np.random.default_rng(4)
+        img = rng.standard_normal((1, 1, 9))
+        grid = rng.uniform(0, 8, (1, 5, 1))
+        a = itp.grid_pull(img, grid, interpolation=alias, extrapolate=True)
+        b = itp.grid_pull(img, grid, interpolation=order, extrapolate=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLabels:
+    def test_label_pull_matches_manual_argmax(self):
+        rng = np.random.default_rng(5)
+        labels = rng.integers(0, 4, (1, 1, 8, 8)).astype(np.int32)
+        grid = jnp.asarray(rng.uniform(0, 7, (1, 6, 6, 2)))
+        out = itp.grid_pull(labels, grid, interpolation=1, bound="dct2",
+                            extrapolate=True)
+        assert out.dtype == jnp.int32
+        # manual soft-resample argmax
+        softs = []
+        for k in range(4):
+            soft = itp.grid_pull((labels == k).astype(np.float64), grid,
+                                 interpolation=1, bound="dct2",
+                                 extrapolate=True)
+            softs.append(np.asarray(soft))
+        manual = np.argmax(np.stack(softs, 0), axis=0)
+        # ties broken identically (> pmax keeps earlier label) — argmax
+        # keeps the first maximal entry too.
+        np.testing.assert_array_equal(np.asarray(out), manual)
+
+    def test_label_pull_jit_with_classes(self):
+        rng = np.random.default_rng(6)
+        labels = rng.integers(0, 3, (1, 1, 8, 8)).astype(np.int32)
+        grid = jnp.asarray(rng.uniform(0, 7, (1, 6, 6, 2)))
+
+        @jax.jit
+        def f(lab, g):
+            return itp.grid_pull(lab, g, interpolation=1, bound="dct2",
+                                 extrapolate=True, classes=(0, 1, 2))
+
+        out = f(labels, grid)
+        ref = itp.grid_pull(labels, grid, interpolation=1, bound="dct2",
+                            extrapolate=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_label_pull_reference_parity(self):
+        load_reference()
+        import torch
+        import interpol as ref
+
+        rng = np.random.default_rng(7)
+        labels = rng.integers(0, 4, (1, 1, 8, 8))
+        grid = rng.uniform(0, 7, (1, 6, 6, 2))
+        r = ref.grid_pull(torch.as_tensor(labels), torch.as_tensor(grid),
+                          interpolation=1, bound="dct2",
+                          extrapolate=True).numpy()
+        j = itp.grid_pull(labels, grid, interpolation=1, bound="dct2",
+                          extrapolate=True)
+        np.testing.assert_array_equal(np.asarray(j), r)
+
+
+class TestGridConstructors:
+    def test_add_identity(self):
+        disp = jnp.zeros((4, 5, 2))
+        grid = itp.add_identity_grid(disp)
+        np.testing.assert_allclose(np.asarray(grid),
+                                   np.asarray(itp.identity_grid([4, 5])))
+
+    def test_affine_identity_is_identity(self):
+        mat = jnp.eye(3)
+        grid = itp.affine_grid(mat, [4, 5])
+        np.testing.assert_allclose(np.asarray(grid),
+                                   np.asarray(itp.identity_grid([4, 5])))
+
+    def test_affine_grid_batch_shape(self):
+        mat = jnp.broadcast_to(jnp.eye(4), (6, 4, 4))
+        grid = itp.affine_grid(mat, [3, 4, 5])
+        assert grid.shape == (6, 3, 4, 5, 3)
+
+    def test_identity_pull_roundtrip(self):
+        rng = np.random.default_rng(8)
+        img = rng.standard_normal((1, 1, 6, 7))
+        grid = itp.identity_grid([6, 7])[None]
+        out = itp.grid_pull(img, grid, interpolation=3, bound="dct2",
+                            extrapolate=True, prefilter=True)
+        np.testing.assert_allclose(np.asarray(out), img, atol=1e-7)

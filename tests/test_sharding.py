@@ -1,0 +1,155 @@
+"""Multi-device tests on a virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8 in conftest — the JAX
+analogue of the reference's cpu-multithread device coverage).
+
+Every sharded op must agree exactly with its single-device counterpart.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from interpol_tpu.ops import pushpull as pp
+from interpol_tpu.parallel import batch as dp
+from interpol_tpu.parallel import spatial as sp
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices, have {len(jax.devices())}")
+
+
+def make_mesh(n, name):
+    return Mesh(np.array(jax.devices()[:n]), (name,))
+
+
+class TestBatchDP:
+    def test_pull_dp_matches(self):
+        require_devices(4)
+        mesh = make_mesh(4, "data")
+        rng = np.random.default_rng(0)
+        inp = jnp.asarray(rng.standard_normal((8, 2, 6, 5)))
+        grid = jnp.asarray(rng.uniform(-1, 6, (8, 4, 3, 2)))
+        o, b = (3, 3), (3, 3)
+        ref = pp.pull(inp, grid, o, b, 1)
+        out = dp.pull_dp(inp, grid, o, b, 1, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-12)
+
+    def test_push_count_grad_dp_match(self):
+        require_devices(4)
+        mesh = make_mesh(4, "data")
+        rng = np.random.default_rng(1)
+        inp = jnp.asarray(rng.standard_normal((8, 2, 4, 3)))
+        grid = jnp.asarray(rng.uniform(-1, 6, (8, 4, 3, 2)))
+        o, b = (2, 2), (6, 6)
+        np.testing.assert_allclose(
+            np.asarray(dp.push_dp(inp, grid, (6, 5), o, b, 1, mesh=mesh)),
+            np.asarray(pp.push(inp, grid, (6, 5), o, b, 1)), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(dp.count_dp(grid, (6, 5), o, b, 1, mesh=mesh)),
+            np.asarray(pp.count(grid, (6, 5), o, b, 1)), atol=1e-12)
+        inp2 = jnp.asarray(rng.standard_normal((8, 2, 6, 5)))
+        np.testing.assert_allclose(
+            np.asarray(dp.grad_dp(inp2, grid, o, b, 1, mesh=mesh)),
+            np.asarray(pp.grad(inp2, grid, o, b, 1)), atol=1e-12)
+
+
+def spatial_case(order, bound, seed=0, n=32, disp=1.5):
+    """Volume sharded along axis 0; grid = identity + bounded displacement
+    (the halo-contract regime)."""
+    rng = np.random.default_rng(seed)
+    B, C = 2, 2
+    ishape = (n, 6)
+    inp = rng.standard_normal((B, C, *ishape))
+    mesh1 = np.stack(np.meshgrid(np.arange(n), np.arange(6),
+                                 indexing="ij"), -1).astype(np.float64)
+    grid = mesh1[None] + rng.uniform(-disp, disp, (B, n, 6, 2))
+    return jnp.asarray(inp), jnp.asarray(grid), ishape
+
+
+class TestSpatialSharding:
+    @pytest.mark.parametrize("order,bound", [(1, 3), (3, 6), (3, 0),
+                                             (2, 5), (5, 2)])
+    def test_pull_sharded_matches(self, order, bound):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, ishape = spatial_case(order, bound)
+        o, b = (order,) * 2, (bound,) * 2
+        ref = pp.pull(inp, grid, o, b, 1)
+        out = sp.pull_sharded(inp, grid, o, b, 1, mesh=mesh, max_disp=1.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-11)
+
+    @pytest.mark.parametrize("order,bound", [(1, 3), (3, 6), (2, 0)])
+    def test_push_sharded_matches(self, order, bound):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, ishape = spatial_case(order, bound, seed=1)
+        o, b = (order,) * 2, (bound,) * 2
+        ref = pp.push(inp, grid, ishape, o, b, 1)
+        out = sp.push_sharded(inp, grid, ishape, o, b, 1, mesh=mesh,
+                              max_disp=1.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-11)
+
+    def test_count_sharded_matches(self):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        _, grid, ishape = spatial_case(3, 3, seed=2)
+        o, b = (3, 3), (3, 3)
+        ref = pp.count(grid, ishape, o, b, 1)
+        out = sp.count_sharded(grid, ishape, o, b, 1, mesh=mesh,
+                               max_disp=1.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-11)
+
+    def test_grad_sharded_matches(self):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, ishape = spatial_case(3, 3, seed=3)
+        o, b = (3, 3), (3, 3)
+        ref = pp.grad(inp, grid, o, b, 1)
+        out = sp.grad_sharded(inp, grid, o, b, 1, mesh=mesh, max_disp=1.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-11)
+
+    def test_pull_sharded_8dev(self):
+        require_devices(8)
+        mesh = make_mesh(8, "x")
+        inp, grid, _ = spatial_case(3, 3, seed=4, n=64)
+        o, b = (3, 3), (3, 3)
+        ref = pp.pull(inp, grid, o, b, 1)
+        out = sp.pull_sharded(inp, grid, o, b, 1, mesh=mesh, max_disp=1.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-11)
+
+    def test_halo_contract_validated(self):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, ishape = spatial_case(3, 3)
+        with pytest.raises(ValueError):
+            sp.pull_sharded(inp, grid, (3, 3), (3, 3), 1, mesh=mesh,
+                            halo=100)
+
+    def test_pull_sharded_differentiable(self):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, _ = spatial_case(3, 6, seed=5)
+        o, b = (3, 3), (6, 6)
+
+        def loss_sharded(v, g):
+            return (sp.pull_sharded(v, g, o, b, 1, mesh=mesh,
+                                    max_disp=1.5) ** 2).sum()
+
+        def loss_ref(v, g):
+            return (pp.pull(v, g, o, b, 1) ** 2).sum()
+
+        gs = jax.grad(loss_sharded, argnums=(0, 1))(inp, grid)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(inp, grid)
+        np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gr[0]),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gr[1]),
+                                   atol=1e-10)
