@@ -1,0 +1,71 @@
+"""Flagship model: multi-resolution dense-displacement image registration.
+
+This is the canonical production workload the library exists for (the
+reference is the resampling core of the NITorch neuroimaging stack): learn
+a smooth dense deformation that warps a moving volume onto a fixed volume.
+The model composes the framework end-to-end — coarse displacement
+parameters, spline upsampling (`resize`), identity-grid composition,
+`grid_pull` warping with hand-wired VJPs, and an MSE image term — and is
+what `__graft_entry__` compiles single-chip and shards multi-chip.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.api import add_identity_grid, grid_pull
+from ..ops.resize import resize
+
+__all__ = ["WarpModel", "mse_loss", "train_step"]
+
+
+class WarpModel(NamedTuple):
+    """Static configuration of the registration model."""
+
+    vol_shape: Tuple[int, ...]      # full-resolution spatial shape
+    coarse_shape: Tuple[int, ...]   # control-point grid shape
+    interpolation: int = 3          # spline order of the warp + upsampling
+    bound: str = "dct2"
+
+    def init_params(self, batch: int, dtype=jnp.float32):
+        """Zero displacement control points: (B, *coarse_shape, D)."""
+        D = len(self.vol_shape)
+        return jnp.zeros((batch,) + tuple(self.coarse_shape) + (D,), dtype)
+
+    def dense_flow(self, params):
+        """Upsample coarse displacement control points to a dense
+        sampling grid: (B, *coarse, D) -> (B, *vol_shape, D)."""
+        D = len(self.vol_shape)
+        # channel-first for resize: (B, D, *coarse)
+        disp = jnp.moveaxis(params, -1, 1)
+        scale = [v / c for v, c in zip(self.vol_shape, self.coarse_shape)]
+        disp = resize(disp, shape=list(self.vol_shape),
+                      anchor=["e"] * D,
+                      interpolation=self.interpolation,
+                      bound=self.bound, prefilter=False)
+        # displacements are in coarse-voxel units; rescale per axis
+        disp = disp * jnp.asarray(scale, disp.dtype).reshape(
+            (1, D) + (1,) * D)
+        return add_identity_grid(jnp.moveaxis(disp, 1, -1))
+
+    def warp(self, params, moving):
+        """Warp ``moving`` (B, C, *vol_shape) by the model's deformation."""
+        flow = self.dense_flow(params)
+        return grid_pull(moving, flow, interpolation=self.interpolation,
+                         bound=self.bound, extrapolate=True)
+
+
+def mse_loss(model: WarpModel, params, moving, fixed):
+    warped = model.warp(params, moving)
+    return jnp.mean((warped - fixed) ** 2)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def train_step(model: WarpModel, params, moving, fixed, lr: float = 0.1):
+    """One SGD step on the registration objective."""
+    loss, g = jax.value_and_grad(mse_loss, argnums=1)(model, params,
+                                                      moving, fixed)
+    return params - lr * g, loss

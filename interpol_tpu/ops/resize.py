@@ -29,8 +29,12 @@ from typing import Optional, Sequence
 
 import jax.numpy as jnp
 
+from .. import backend as _backend
+from ..options import normalize_options
 from ..utils.shapes import make_list
+from . import coeff as _coeff
 from .api import grid_pull, grid_push
+from .separable import separable_pull, separable_push
 
 __all__ = ["resize", "restrict"]
 
@@ -105,6 +109,21 @@ def resize(image, factor=None, shape=None, anchor="c",
     kwargs.setdefault("extrapolate", True)
     kwargs.setdefault("interpolation", interpolation)
     kwargs.setdefault("prefilter", prefilter)
+
+    # Separable fast path: the grid is an outer product of the per-axis
+    # lines, so the whole resample is D dense matmuls (MXU) instead of
+    # gathers.  Falls back to grid_pull for label maps (integer dtype) or
+    # when the pure-XLA gather backend is forced.
+    if (_backend.get_backend() != "xla"
+            and jnp.issubdtype(image.dtype, jnp.inexact)):
+        orders, bounds, ex = normalize_options(
+            kwargs["interpolation"], kwargs["bound"],
+            kwargs["extrapolate"], ndim)
+        img = image
+        if kwargs["prefilter"]:
+            img = _coeff.spline_coeff_nd(img, orders, bounds, ndim)
+        return separable_pull(img, lines, orders, bounds, ex)
+
     grid = jnp.stack(jnp.meshgrid(*lines, indexing="ij"), axis=-1)
     return grid_pull(image, grid, **kwargs)
 
@@ -155,8 +174,18 @@ def restrict(image, factor=None, shape=None, anchor="c",
     kwargs.setdefault("extrapolate", True)
     kwargs.setdefault("interpolation", interpolation)
     kwargs.setdefault("prefilter", False)
-    grid = jnp.stack(jnp.meshgrid(*lines, indexing="ij"), axis=-1)
-    out = grid_push(image, grid, shape, **kwargs)
+
+    if (_backend.get_backend() != "xla"
+            and jnp.issubdtype(image.dtype, jnp.inexact)):
+        orders, bounds, ex = normalize_options(
+            kwargs["interpolation"], kwargs["bound"],
+            kwargs["extrapolate"], ndim)
+        out = separable_push(image, lines, tuple(shape), orders, bounds, ex)
+        if kwargs["prefilter"]:
+            out = _coeff.spline_coeff_nd(out, orders, bounds, ndim)
+    else:
+        grid = jnp.stack(jnp.meshgrid(*lines, indexing="ij"), axis=-1)
+        out = grid_push(image, grid, shape, **kwargs)
     if not reduce_sum:
         out = out / fullscale
     return out

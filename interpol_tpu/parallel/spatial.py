@@ -82,7 +82,7 @@ def _shift(axis_name, n_loc, H):
 
 def pull_sharded(inp, grid, orders, bounds, extrapolate, *,
                  mesh: Mesh, axis_name: str = "x", halo: int = None,
-                 max_disp: float = 0.0):
+                 max_disp: float = 0.0, batch_axis: str = None):
     """Slab-sharded grid_pull.
 
     inp (B, C, *ishape) and grid (B, *oshape, D) are sharded along their
@@ -108,13 +108,14 @@ def pull_sharded(inp, grid, orders, bounds, extrapolate, *,
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, None, axis_name), P(None, axis_name)),
-        out_specs=P(None, None, axis_name), check_vma=False)(inp, grid)
+        in_specs=(P(batch_axis, None, axis_name), P(batch_axis, axis_name)),
+        out_specs=P(batch_axis, None, axis_name),
+        check_vma=False)(inp, grid)
 
 
 def grad_sharded(inp, grid, orders, bounds, extrapolate, *,
                  mesh: Mesh, axis_name: str = "x", halo: int = None,
-                 max_disp: float = 0.0):
+                 max_disp: float = 0.0, batch_axis: str = None):
     """Slab-sharded grid_grad; same layout contract as pull_sharded,
     returning (B, C, *oshape, D)."""
     D = grid.shape[-1]
@@ -136,13 +137,15 @@ def grad_sharded(inp, grid, orders, bounds, extrapolate, *,
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, None, axis_name), P(None, axis_name)),
-        out_specs=P(None, None, axis_name), check_vma=False)(inp, grid)
+        in_specs=(P(batch_axis, None, axis_name), P(batch_axis, axis_name)),
+        out_specs=P(batch_axis, None, axis_name),
+        check_vma=False)(inp, grid)
 
 
 def push_sharded(inp, grid, oshape: Tuple[int, ...], orders, bounds,
                  extrapolate, *, mesh: Mesh, axis_name: str = "x",
-                 halo: int = None, max_disp: float = 0.0):
+                 halo: int = None, max_disp: float = 0.0,
+                 batch_axis: str = None):
     """Slab-sharded grid_push (adjoint of pull_sharded).
 
     inp (B, C, *gshape) and grid (B, *gshape, D) sharded along the first
@@ -179,16 +182,18 @@ def push_sharded(inp, grid, oshape: Tuple[int, ...], orders, bounds,
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, None, axis_name), P(None, axis_name)),
-        out_specs=P(None, None, axis_name), check_vma=False)(inp, grid)
+        in_specs=(P(batch_axis, None, axis_name), P(batch_axis, axis_name)),
+        out_specs=P(batch_axis, None, axis_name),
+        check_vma=False)(inp, grid)
 
 
 def count_sharded(grid, oshape: Tuple[int, ...], orders, bounds,
                   extrapolate, *, mesh: Mesh, axis_name: str = "x",
-                  halo: int = None, max_disp: float = 0.0):
+                  halo: int = None, max_disp: float = 0.0,
+                  batch_axis: str = None):
     """Slab-sharded grid_count = push_sharded of unit weights."""
     ones = jnp.ones((grid.shape[0], 1) + grid.shape[1:-1],
                     dtype=grid.dtype)
     return push_sharded(ones, grid, oshape, orders, bounds, extrapolate,
                         mesh=mesh, axis_name=axis_name, halo=halo,
-                        max_disp=max_disp)
+                        max_disp=max_disp, batch_axis=batch_axis)
