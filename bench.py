@@ -52,19 +52,26 @@ def measure(f, args, iters=4, chain=None):
     return max(total / iters, 1e-9)
 
 
-def bench_pull(n=128, order=3, dtype=jnp.float32):
+def bench_pull(n=128, order=3, dtype=jnp.float32, max_disp=2.0,
+               path="window"):
     import interpol_tpu as itp
     from interpol_tpu.ops import pushpull as pp
+    from interpol_tpu.ops import window as wd
 
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.standard_normal((1, 1, n, n, n)).astype(
         np.float32)).astype(dtype)
     grid = (itp.identity_grid((n, n, n), dtype=jnp.float32)[None]
-            + jnp.asarray(
-                rng.uniform(-2, 2, (1, n, n, n, 3)).astype(np.float32))
+            + jnp.asarray(rng.uniform(-max_disp, max_disp,
+                                      (1, n, n, n, 3)).astype(np.float32))
             ).astype(dtype)
 
-    f = jax.jit(lambda v, g: pp.pull(v, g, (order,) * 3, (3,) * 3, 1))
+    if path == "window":
+        f = jax.jit(lambda v, g: jax.vmap(
+            lambda vv, gg: wd.pull_window(vv, gg, (order,) * 3, (3,) * 3,
+                                          1, max_disp))(v, g))
+    else:
+        f = jax.jit(lambda v, g: pp.pull(v, g, (order,) * 3, (3,) * 3, 1))
 
     def chain(args, out):
         # thread a scalar of the output back into the input volume so
@@ -78,9 +85,10 @@ def bench_pull(n=128, order=3, dtype=jnp.float32):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    gvox = bench_pull(n=n)
+    path = sys.argv[2] if len(sys.argv) > 2 else "window"
+    gvox = bench_pull(n=n, path=path)
     print(json.dumps({
-        "metric": f"3d_cubic_grid_pull_{n}cubed_fp32",
+        "metric": f"3d_cubic_warp_pull_{n}cubed_fp32_{path}",
         "value": round(gvox, 4),
         "unit": "Gvox/s",
         "vs_baseline": round(gvox / BASELINE_GVOX, 5),

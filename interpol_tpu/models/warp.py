@@ -29,6 +29,9 @@ class WarpModel(NamedTuple):
     coarse_shape: Tuple[int, ...]   # control-point grid shape
     interpolation: int = 3          # spline order of the warp + upsampling
     bound: str = "dct2"
+    max_disp: float = 4.0           # displacement clamp (voxels) — keeps
+    # the warp diffeomorphic-ish AND satisfies the windowed fast path's
+    # bounded-displacement contract
 
     def init_params(self, batch: int, dtype=jnp.float32):
         """Zero displacement control points: (B, *coarse_shape, D)."""
@@ -46,16 +49,19 @@ class WarpModel(NamedTuple):
                       anchor=["e"] * D,
                       interpolation=self.interpolation,
                       bound=self.bound, prefilter=False)
-        # displacements are in coarse-voxel units; rescale per axis
+        # displacements are in coarse-voxel units; rescale per axis and
+        # clamp smoothly to the displacement budget
         disp = disp * jnp.asarray(scale, disp.dtype).reshape(
             (1, D) + (1,) * D)
+        disp = self.max_disp * jnp.tanh(disp / self.max_disp)
         return add_identity_grid(jnp.moveaxis(disp, 1, -1))
 
     def warp(self, params, moving):
         """Warp ``moving`` (B, C, *vol_shape) by the model's deformation."""
         flow = self.dense_flow(params)
         return grid_pull(moving, flow, interpolation=self.interpolation,
-                         bound=self.bound, extrapolate=True)
+                         bound=self.bound, extrapolate=True,
+                         max_disp=self.max_disp)
 
 
 def mse_loss(model: WarpModel, params, moving, fixed):

@@ -28,6 +28,7 @@ from ..options import normalize_options, to_bound, to_order
 from ..utils.shapes import expanded_shape
 from . import coeff as _coeff
 from . import pushpull as _pp
+from . import window as _window
 
 __all__ = [
     "grid_pull", "grid_push", "grid_count", "grid_grad",
@@ -85,8 +86,16 @@ def _postproc(out, info, mode):
 
 # ------------------------------------------------- main ops
 
+def _use_window(max_disp, grid, inp):
+    """Dense-grid + bounded-displacement fast path applies when the grid
+    has one sample per input voxel and the caller declared a bound."""
+    return (max_disp is not None
+            and tuple(grid.shape[1:-1]) == tuple(inp.shape[2:]))
+
+
 def grid_pull(input, grid, interpolation="linear", bound="zero",
-              extrapolate=False, prefilter=False, *, classes=None):
+              extrapolate=False, prefilter=False, *, classes=None,
+              max_disp=None):
     """Sample an image at the positions of a deformation field.
 
     Parameters (reference api.py:149-212)
@@ -102,6 +111,10 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
     classes : optional sequence of label values — enables the label-map
         path with static shapes (usable under jit).  Without it, integer
         inputs use ``np.unique`` on the host (not traceable).
+    max_disp : optional float — declares that every sample lies within
+        ``max_disp`` voxels of its own site (dense warp grids).  Enables
+        the gather-free windowed fast path (ops/window.py); samples
+        violating the bound lose out-of-window taps.
 
     Returns
     -------
@@ -120,7 +133,12 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
     grid, inp, info = _preproc(grid, input)
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
-    out = _pp.pull(inp, grid, orders, bounds, ex)
+    if _use_window(max_disp, grid, inp):
+        f = lambda v, g: _window.pull_window(v, g, orders, bounds, ex,
+                                             float(max_disp))
+        out = jax.vmap(f)(inp, grid)
+    else:
+        out = _pp.pull(inp, grid, orders, bounds, ex)
     return _postproc(out, info, "pull")
 
 
@@ -148,9 +166,10 @@ def _label_pull(input, grid, orders, bounds, ex, prefilter, classes):
 
 
 def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
-              extrapolate=False, prefilter=False):
+              extrapolate=False, prefilter=False, *, max_disp=None):
     """Splat an image at the positions of a deformation field (pull
-    adjoint).  Reference api.py:215-262."""
+    adjoint).  Reference api.py:215-262.  ``max_disp`` enables the
+    windowed fast path when the output shape equals the grid shape."""
     input = jnp.asarray(input)
     grid = jnp.asarray(grid)
     D = grid.shape[-1]
@@ -160,7 +179,13 @@ def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
     if shape is None:
         shape = tuple(inp.shape[2:])
     shape = tuple(int(s) for s in shape)
-    out = _pp.push(inp, grid, shape, orders, bounds, ex)
+    if (max_disp is not None and shape == tuple(inp.shape[2:])
+            and tuple(grid.shape[1:-1]) == shape):
+        f = lambda v, g: _window.push_window(v, g, orders, bounds, ex,
+                                             float(max_disp))
+        out = jax.vmap(f)(inp, grid)
+    else:
+        out = _pp.push(inp, grid, shape, orders, bounds, ex)
     if prefilter:
         out = _coeff.spline_coeff_nd(out, orders, bounds, D)
     return _postproc(out, info, "push")
@@ -183,9 +208,10 @@ def grid_count(grid, shape=None, interpolation="linear", bound="zero",
 
 
 def grid_grad(input, grid, interpolation="linear", bound="zero",
-              extrapolate=False, prefilter=False):
+              extrapolate=False, prefilter=False, *, max_disp=None):
     """Sample spatial gradients of an image at the positions of a
-    deformation field.  Reference api.py:302-344."""
+    deformation field.  Reference api.py:302-344.  ``max_disp`` enables
+    the windowed fast path for dense grids."""
     input = jnp.asarray(input)
     grid = jnp.asarray(grid)
     D = grid.shape[-1]
@@ -194,7 +220,12 @@ def grid_grad(input, grid, interpolation="linear", bound="zero",
     grid, inp, info = _preproc(grid, input)
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
-    out = _pp.grad(inp, grid, orders, bounds, ex)
+    if _use_window(max_disp, grid, inp):
+        f = lambda v, g: _window.grad_window(v, g, orders, bounds, ex,
+                                             float(max_disp))
+        out = jax.vmap(f)(inp, grid)
+    else:
+        out = _pp.grad(inp, grid, orders, bounds, ex)
     return _postproc(out, info, "grad")
 
 

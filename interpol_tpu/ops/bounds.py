@@ -29,10 +29,15 @@ import jax.numpy as jnp
 
 from ..options import BoundType
 
+# Every helper takes an array-module parameter ``xp`` (jax.numpy by
+# default): passing ``numpy`` lets static (trace-time) index tables — pad
+# contents, precomputed windows — be built as concrete constants even
+# inside a jit trace.
+
 __all__ = ["fold_index", "fold_sign", "has_sign"]
 
 
-def fold_index(i: jnp.ndarray, n: int, bound: int) -> jnp.ndarray:
+def fold_index(i, n: int, bound: int, xp=jnp):
     """Fold integer indices ``i`` into ``[0, n)`` for boundary ``bound``.
 
     Parameters
@@ -48,36 +53,36 @@ def fold_index(i: jnp.ndarray, n: int, bound: int) -> jnp.ndarray:
     bound = int(bound)
     if bound in (BoundType.zero, BoundType.replicate):
         # Clamp; for 'zero' the sign kills out-of-range contributions.
-        return jnp.clip(i, 0, n - 1)
+        return xp.clip(i, 0, n - 1)
 
     if bound in (BoundType.dct2, BoundType.dst2):
         # Period 2n, reflection about voxel edges.
         n2 = 2 * n
-        i = jnp.where(i < 0, (n2 - 1) - jnp.remainder(-i - 1, n2),
-                      jnp.remainder(i, n2))
-        return jnp.where(i >= n, (n2 - 1) - i, i)
+        i = xp.where(i < 0, (n2 - 1) - xp.remainder(-i - 1, n2),
+                      xp.remainder(i, n2))
+        return xp.where(i >= n, (n2 - 1) - i, i)
 
     if bound == BoundType.dct1:
         # Period 2(n-1), reflection about voxel centers.
         if n == 1:
-            return jnp.zeros_like(i)
+            return xp.zeros_like(i)
         n2 = 2 * (n - 1)
-        i = jnp.remainder(jnp.abs(i), n2)
-        return jnp.where(i >= n, n2 - i, i)
+        i = xp.remainder(xp.abs(i), n2)
+        return xp.where(i >= n, n2 - i, i)
 
     if bound == BoundType.dst1:
         # Period 2(n+1), antisymmetric about the virtual zero samples at
         # -1 and n.  The two sentinel positions fold onto 0 / n-1; their
         # contribution is zeroed by the sign.
         n2 = 2 * (n + 1)
-        i = jnp.where(i < 0, -i - 2, i)
-        i = jnp.remainder(i, n2)
-        i = jnp.where(i > n, (n2 - 2) - i, i)
-        i = jnp.where(i == -1, jnp.zeros_like(i), i)
-        return jnp.where(i == n, jnp.full_like(i, n - 1), i)
+        i = xp.where(i < 0, -i - 2, i)
+        i = xp.remainder(i, n2)
+        i = xp.where(i > n, (n2 - 2) - i, i)
+        i = xp.where(i == -1, xp.zeros_like(i), i)
+        return xp.where(i == n, xp.full_like(i, n - 1), i)
 
     if bound == BoundType.dft:
-        return jnp.remainder(i, n)
+        return xp.remainder(i, n)
 
     raise ValueError(f"Unknown bound: {bound}")
 
@@ -90,8 +95,7 @@ def has_sign(bound: int, n: int) -> bool:
     return bound in (BoundType.zero, BoundType.dst2)
 
 
-def fold_sign(i: jnp.ndarray, n: int, bound: int,
-              dtype=jnp.float32) -> Optional[jnp.ndarray]:
+def fold_sign(i, n: int, bound: int, dtype=jnp.float32, xp=jnp):
     """Sign (+1 / -1 / 0) carried by index ``i`` under boundary ``bound``.
 
     Returns ``None`` for boundaries whose sign is identically +1
@@ -102,19 +106,19 @@ def fold_sign(i: jnp.ndarray, n: int, bound: int,
         return None
 
     if bound == BoundType.zero:
-        inb = jnp.logical_and(i >= 0, i < n)
+        inb = xp.logical_and(i >= 0, i < n)
         return inb.astype(dtype)
 
     if bound == BoundType.dst2:
-        i = jnp.where(i < 0, (n - 1) - i, i)
-        odd = jnp.remainder(i // n, 2) > 0
-        return jnp.where(odd, -1, 1).astype(dtype)
+        i = xp.where(i < 0, (n - 1) - i, i)
+        odd = xp.remainder(i // n, 2) > 0
+        return xp.where(odd, -1, 1).astype(dtype)
 
     # dst1, n > 1
     n2 = 2 * (n + 1)
-    i = jnp.where(i < 0, -i + (n - 1), i)
-    i = jnp.remainder(i, n2)
-    x = jnp.where(i == 0, 0, 1)
-    x = jnp.where(jnp.remainder(i, n + 1) == n, 0, x)
-    odd = jnp.remainder(i // (n + 1), 2) > 0
-    return jnp.where(odd, -x, x).astype(dtype)
+    i = xp.where(i < 0, -i + (n - 1), i)
+    i = xp.remainder(i, n2)
+    x = xp.where(i == 0, 0, 1)
+    x = xp.where(xp.remainder(i, n + 1) == n, 0, x)
+    odd = xp.remainder(i // (n + 1), 2) > 0
+    return xp.where(odd, -x, x).astype(dtype)
