@@ -4,6 +4,8 @@ analogue of the reference's cpu-multithread device coverage).
 
 Every sharded op must agree exactly with its single-device counterpart.
 """
+from functools import partial
+
 import numpy as np
 import pytest
 
@@ -153,3 +155,44 @@ class TestSpatialSharding:
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gr[1]),
                                    atol=1e-10)
+
+
+class TestShardedCoeff:
+    def test_coeff_sharded_matches(self):
+        require_devices(4)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from interpol_tpu.parallel.coeff import spline_coeff_nd_sharded
+        from interpol_tpu.ops.coeff import spline_coeff_nd
+
+        mesh = make_mesh(4, "x")
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 16, 12, 8)))
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x")))
+        orders, bounds = (3, 3, 3), (3, 3, 6)
+
+        shard = NamedSharding(mesh, P(None, "x"))
+
+        @partial(jax.jit, out_shardings=shard)
+        def f(v):
+            return spline_coeff_nd_sharded(v, orders, bounds, 3,
+                                           mesh=mesh, axis_name="x",
+                                           sharded_axis=0)
+
+        out = f(xs)
+        ref = spline_coeff_nd(x, orders, bounds, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-11)
+        assert out.sharding.spec == P(None, "x")
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == args[1].shape
+
+    def test_dryrun_multichip(self):
+        require_devices(8)
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
