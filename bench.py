@@ -27,29 +27,46 @@ BASELINE_GVOX = 28.7   # 70% of the 20 B/voxel HBM roofline on v5p/v5e
 
 
 def _sync(x):
-    return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
+    # slice to a scalar ON DEVICE before fetching: materializing a full
+    # array pulls it through the (slow) device tunnel
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def wait_healthy(limit=5.0, tries=30):
+    """The device tunnel queues work across clients; gate measurements on
+    a small round-trip so backlog from other sessions isn't billed to the
+    op under test."""
+    x = jnp.ones(8)
+    h = None
+    for _ in range(tries):
+        t0 = time.time()
+        _sync(x + 1)
+        h = time.time() - t0
+        if h < limit:
+            return h
+        time.sleep(30)
+    return h
 
 
 def measure(f, args, iters=4, chain=None):
-    """Wall time per iteration with a data-dependency chain and sync
-    overhead subtracted."""
-    out = f(*args)
-    _sync(out)  # compile + settle
-    # sync overhead baseline
-    t0 = time.time()
-    _sync(out)
-    sync_s = time.time() - t0
+    """Wall time per iteration with a data-dependency chain.  The first
+    full chain pass is discarded: it compiles both the op under test and
+    every auxiliary op of the chain itself (measuring from the second
+    call was shown to bill ~400 ms of auxiliary compiles to the op)."""
+    def run(n):
+        cur = args
+        out = None
+        for _ in range(n):
+            out = f(*cur)
+            if chain is not None:
+                cur = chain(cur, out)
+        _sync(out)
 
+    run(2)              # compile op + chain auxiliaries, settle
     t0 = time.time()
-    cur = args
-    out = None
-    for _ in range(iters):
-        out = f(*cur)
-        if chain is not None:
-            cur = chain(cur, out)
-    _sync(out)
-    total = time.time() - t0 - sync_s
-    return max(total / iters, 1e-9)
+    run(iters)
+    return max((time.time() - t0) / iters, 1e-9)
 
 
 def bench_pull(n=128, order=3, dtype=jnp.float32, max_disp=2.0,
@@ -84,8 +101,9 @@ def bench_pull(n=128, order=3, dtype=jnp.float32, max_disp=2.0,
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     path = sys.argv[2] if len(sys.argv) > 2 else "window"
+    wait_healthy()
     gvox = bench_pull(n=n, path=path)
     print(json.dumps({
         "metric": f"3d_cubic_warp_pull_{n}cubed_fp32_{path}",

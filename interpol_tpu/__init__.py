@@ -12,6 +12,7 @@ dimension options, exact interpolating prefilters (``spline_coeff`` /
 """
 from . import options  # noqa: F401
 from . import backend  # noqa: F401
+from . import models, ops, parallel, utils  # noqa: F401
 from .options import BoundType, ExtrapolateType, InterpolationType  # noqa: F401
 from .ops.api import (  # noqa: F401
     grid_pull, grid_push, grid_count, grid_grad,

@@ -93,6 +93,14 @@ def _use_window(max_disp, grid, inp):
             and tuple(grid.shape[1:-1]) == tuple(inp.shape[2:]))
 
 
+def _window_pull_dispatch(inp, grid, orders, bounds, ex, max_disp):
+    """Windowed fast path (the Pallas-vs-XLA choice happens inside
+    window.pull_window's forward, under its custom VJP)."""
+    f = lambda v, g: _window.pull_window(v, g, orders, bounds, ex,
+                                         float(max_disp))
+    return jax.vmap(f)(inp, grid)
+
+
 def grid_pull(input, grid, interpolation="linear", bound="zero",
               extrapolate=False, prefilter=False, *, classes=None,
               max_disp=None):
@@ -134,9 +142,8 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
-        f = lambda v, g: _window.pull_window(v, g, orders, bounds, ex,
-                                             float(max_disp))
-        out = jax.vmap(f)(inp, grid)
+        out = _window_pull_dispatch(inp, grid, orders, bounds, ex,
+                                    max_disp)
     else:
         out = _pp.pull(inp, grid, orders, bounds, ex)
     return _postproc(out, info, "pull")
@@ -192,9 +199,10 @@ def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
 
 
 def grid_count(grid, shape=None, interpolation="linear", bound="zero",
-               extrapolate=False):
+               extrapolate=False, *, max_disp=None):
     """Splat unit weights (density of the deformation field).
-    Reference api.py:265-299."""
+    Reference api.py:265-299.  ``max_disp`` enables the windowed fast
+    path when the output shape equals the grid shape."""
     grid = jnp.asarray(grid)
     D = grid.shape[-1]
     orders, bounds, ex = normalize_options(interpolation, bound,
@@ -203,7 +211,13 @@ def grid_count(grid, shape=None, interpolation="linear", bound="zero",
     if shape is None:
         shape = tuple(grid.shape[1:-1])
     shape = tuple(int(s) for s in shape)
-    out = _pp.count(grid, shape, orders, bounds, ex)
+    if max_disp is not None and shape == tuple(grid.shape[1:-1]):
+        ones = jnp.ones((grid.shape[0], 1) + shape, dtype=grid.dtype)
+        f = lambda v, g: _window.push_window(v, g, orders, bounds, ex,
+                                             float(max_disp))
+        out = jax.vmap(f)(ones, grid)
+    else:
+        out = _pp.count(grid, shape, orders, bounds, ex)
     return _postproc(out, info, "count")
 
 

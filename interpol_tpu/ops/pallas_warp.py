@@ -17,8 +17,18 @@ whole S^3 shift accumulation out of on-chip memory:
       2. per axis: node origin, Cox-de Boor taps, and the S coefficient
          planes  coef_d[s] = w_{s - delta0_d}  (VPU, branch-free)
       3. acc += coefx[sx] * coefy[sy] * coefz[sz] * box[shifted slice]
-         over the static S^3 window — all VMEM reads
+         over the S^3 window — all VMEM reads
       4. write the tile
+
+Mosaic-shaped details (each learned from a failed compile):
+  - grid coordinates are passed as three separate (X, Y, Z) arrays — a
+    trailing length-3 axis would be lane-padded 42x in VMEM;
+  - the x/y shift loops are rolled ``fori_loop``s with the coefficient
+    planes staged through VMEM scratch (values cannot be dynamically
+    indexed), only the z-shift sum is unrolled — fully unrolling S^3
+    terms exploded both compile time and register pressure (~190 MB of
+    spill slots);
+  - VMEM slice extents are rounded up to the (8, 128) tiling.
 
 Traffic: ~1.2x volume read + volume write (vs ~S^3 x for the XLA path).
 Compute: S^3 fused multiply-adds per voxel on the VPU.
@@ -42,7 +52,12 @@ from .splines import bspline_taps
 from .window import _pad_folded, _window_geom, window_range
 from .ndkernels import inbounds_mask
 
-__all__ = ["pull_window_pallas"]
+__all__ = ["pull_window_pallas", "default_tile"]
+
+
+def default_tile() -> Tuple[int, int, int]:
+    """Best-measured tile on v5e (tile sweep, scripts/tpu_tile_sweep.py)."""
+    return (8, 8, 128)
 
 
 def _coef_planes(g, order, smin, smax, origin, axis, tile_shape):
@@ -66,7 +81,8 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape):
     return planes
 
 
-def _warp_kernel(grid_ref, vpad_hbm, out_ref, box, sem, *,
+def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, out_ref,
+                 box, ybox, cx_ref, cy_ref, acc_ref, ysem, *,
                  orders, ranges, tile, box_shape):
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
@@ -74,35 +90,55 @@ def _warp_kernel(grid_ref, vpad_hbm, out_ref, box, sem, *,
     ix, iy, iz = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     x0, y0, z0 = ix * TX, iy * TY, iz * TZ
 
-    # 1. box DMA: Vpad[x0 : x0+BX, ...]  (pad absorbs the window, so the
-    # box origin in padded coords is exactly the tile origin; extents are
-    # rounded up to the (8, 128) tiling)
+    # 1. one aligned box DMA (pad absorbs the window: box origin in
+    # padded coords is the tile origin; extents rounded to (8, 128))
     cp = pltpu.make_async_copy(
         vpad_hbm.at[pl.ds(x0, box_shape[0]), pl.ds(y0, box_shape[1]),
                     pl.ds(z0, box_shape[2])],
-        box, sem)
+        box, ysem)
     cp.start()
 
-    # 2. coefficient planes (overlap with the DMA)
-    gx = grid_ref[..., 0]
-    gy = grid_ref[..., 1]
-    gz = grid_ref[..., 2]
-    cxs = _coef_planes(gx, orders[0], sx0, sx1, x0, 0, (TX, TY, TZ))
-    cys = _coef_planes(gy, orders[1], sy0, sy1, y0, 1, (TX, TY, TZ))
-    czs = _coef_planes(gz, orders[2], sz0, sz1, z0, 2, (TX, TY, TZ))
+    # 2. coefficient planes (overlaps the DMA); x/y stacks go to VMEM
+    # scratch for dynamic indexing by the rolled shift loops
+    shape = (TX, TY, TZ)
+    for k, c in enumerate(_coef_planes(gx_ref[...], orders[0], sx0, sx1,
+                                       x0, 0, shape)):
+        cx_ref[k] = c
+    for k, c in enumerate(_coef_planes(gy_ref[...], orders[1], sy0, sy1,
+                                       y0, 1, shape)):
+        cy_ref[k] = c
+    czs = _coef_planes(gz_ref[...], orders[2], sz0, sz1, z0, 2, shape)
 
     cp.wait()
 
-    # 3. windowed accumulation, entirely from VMEM
-    acc = jnp.zeros((TX, TY, TZ), dtype=out_ref.dtype)
-    for kx in range(Sx):
-        wx = cxs[kx]
-        for ky in range(Sy):
-            wxy = wx * cys[ky]
-            for kz in range(Sz):
-                view = box[kx:kx + TX, ky:ky + TY, kz:kz + TZ]
-                acc = acc + (wxy * czs[kz]) * view
-    out_ref[...] = acc
+    # 3. build the per-ky sublane-aligned slabs: neither VMEM nor HBM
+    # memrefs may be sliced at a misaligned sublane offset, but a value-
+    # level circular roll is a native Mosaic op — ybox[ky] holds the box
+    # rolled so that row ky sits at 0, making every later read aligned.
+    bval = box[...]
+    BY = bval.shape[1]
+    for ky in range(Sy):
+        # circular roll by BY - ky == roll by -ky (shift must be >= 0)
+        ybox[ky] = bval if ky == 0 else pltpu.roll(bval, BY - ky, 1)
+
+    acc_ref[...] = jnp.zeros(shape, dtype=out_ref.dtype)
+
+    def ybody(ky, kx):
+        # one ref read; dynamic indices only on untiled leading dims
+        box_xy = ybox[ky, pl.ds(kx, TX), 0:TY, :]
+        zsum = None
+        for kz in range(Sz):        # static lane shifts (value-level)
+            term = czs[kz] * box_xy[:, :, kz:kz + TZ]
+            zsum = term if zsum is None else zsum + term
+        acc_ref[...] += (cx_ref[kx] * cy_ref[ky]) * zsum
+        return kx
+
+    def xbody(kx, _):
+        jax.lax.fori_loop(0, Sy, ybody, kx)
+        return 0
+
+    jax.lax.fori_loop(0, Sx, xbody, 0)
+    out_ref[...] = acc_ref[...]
 
 
 def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
@@ -143,23 +179,30 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape)
+    gspec = pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM)
+    g = grid.astype(wdtype)
     out = pl.pallas_call(
         kernel,
         grid=ntiles,
-        in_specs=[
-            pl.BlockSpec(tile + (D,), lambda i, j, k: (i, j, k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[gspec, gspec, gspec,
+                  # the padded volume must stay in HBM: VMEM slices have
+                  # sublane alignment constraints the per-ky slab DMAs
+                  # cannot satisfy (HBM is byte-addressed)
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(ishape, wdtype),
         scratch_shapes=[
             pltpu.VMEM(box_shape, wdtype),
+            pltpu.VMEM((S[1],) + box_shape, wdtype),
+            pltpu.VMEM((S[0],) + tuple(tile), wdtype),
+            pltpu.VMEM((S[1],) + tuple(tile), wdtype),
+            pltpu.VMEM(tuple(tile), wdtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(grid.astype(wdtype), vpad)
+    )(g[..., 0], g[..., 1], g[..., 2], vpad)
 
     mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
     if mask is not None:

@@ -159,9 +159,37 @@ def _window_geom(orders, max_disp, D):
     return los, his
 
 
+def _should_pallas(ishape) -> bool:
+    """Use the Pallas native kernel for the forward when the backend and
+    shape allow (3-D, tile-divisible, running on TPU).  The backward
+    always runs the XLA formulation (push/grad below) via the custom
+    VJP, so autodiff never differentiates through the kernel."""
+    from .. import backend as _backend
+
+    be = _backend.get_backend()
+    if be == "xla":
+        return False
+    from .pallas_warp import default_tile
+    tile = default_tile()
+    eligible = (len(ishape) == 3
+                and all(n % t == 0 for n, t in zip(ishape, tile)))
+    if be == "pallas":
+        return eligible
+    return eligible and jax.default_backend() == "tpu"
+
+
 def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
+    if _should_pallas(ishape):
+        from .pallas_warp import pull_window_pallas
+        # static loop over channels: C is small and pallas_call's vmap
+        # support is not needed
+        outs = [pull_window_pallas(inp[c], grid, tuple(orders),
+                                   tuple(bounds), extrapolate,
+                                   float(max_disp))
+                for c in range(inp.shape[0])]
+        return jnp.stack(outs)
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
     vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)

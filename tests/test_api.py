@@ -240,3 +240,37 @@ class TestGridConstructors:
         out = itp.grid_pull(img, grid, interpolation=3, bound="dct2",
                             extrapolate=True, prefilter=True)
         np.testing.assert_allclose(np.asarray(out), img, atol=1e-7)
+
+
+class TestLabelPrefilter:
+    def test_label_pull_with_prefilter(self):
+        # The reference's label+prefilter branch is buggy (api.py:201
+        # assigns the filtered soft map to `input`); ours prefilters the
+        # soft map, which must equal the manual soft pipeline.
+        rng = np.random.default_rng(9)
+        labels = rng.integers(0, 3, (1, 1, 8, 8)).astype(np.int32)
+        grid = jnp.asarray(rng.uniform(0, 7, (1, 6, 6, 2)))
+        out = itp.grid_pull(labels, grid, interpolation=3, bound="dct2",
+                            extrapolate=True, prefilter=True)
+        softs = []
+        for k in range(3):
+            soft = itp.grid_pull((labels == k).astype(np.float64), grid,
+                                 interpolation=3, bound="dct2",
+                                 extrapolate=True, prefilter=True)
+            softs.append(np.asarray(soft))
+        manual = np.argmax(np.stack(softs, 0), axis=0)
+        np.testing.assert_array_equal(np.asarray(out), manual)
+
+
+class TestCountWindow:
+    def test_count_max_disp_matches(self):
+        rng = np.random.default_rng(10)
+        ident = np.stack(np.meshgrid(np.arange(10), np.arange(12),
+                                     indexing="ij"), -1).astype(np.float64)
+        grid = ident[None] + rng.uniform(-1.2, 1.2, (2, 10, 12, 2))
+        a = itp.grid_count(grid, interpolation=3, bound="dct2",
+                           extrapolate=True)
+        b = itp.grid_count(grid, interpolation=3, bound="dct2",
+                           extrapolate=True, max_disp=1.2)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-11)
