@@ -52,7 +52,7 @@ from .splines import bspline_taps
 from .window import _pad_folded, _window_geom, window_range
 from .ndkernels import inbounds_mask
 
-__all__ = ["pull_window_pallas", "default_tile"]
+__all__ = ["pull_window_pallas", "push_window_pallas", "default_tile"]
 
 
 def default_tile() -> Tuple[int, int, int]:
@@ -60,12 +60,16 @@ def default_tile() -> Tuple[int, int, int]:
     return (8, 8, 128)
 
 
-def _coef_planes(g, order, smin, smax, origin, axis, tile_shape):
+def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
+                 deriv=False):
     """In-kernel per-axis coefficient planes: list of S arrays, where
-    plane k is the weight this voxel sends to relative shift smin+k."""
+    plane k is the weight this voxel sends to relative shift smin+k.
+    ``deriv`` selects the first-derivative tap factors."""
     n0f = jnp.floor(g - (order - 1) / 2) if order > 0 else jnp.round(g)
     t = g - n0f
-    w, _, _ = bspline_taps(t, order)
+    w, gr, _ = bspline_taps(t, order, grad=deriv)
+    if deriv:
+        w = gr
     # delta0 = n0 - p, p = global voxel index along `axis` for this tile
     p = origin + jax.lax.broadcasted_iota(jnp.int32, tile_shape, axis)
     d0 = n0f.astype(jnp.int32) - p
@@ -83,7 +87,7 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape):
 
 def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, out_ref,
                  box, ybox, cx_ref, cy_ref, acc_ref, ysem, *,
-                 orders, ranges, tile, box_shape):
+                 orders, ranges, tile, box_shape, deriv_axis=None):
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
     Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
@@ -102,12 +106,15 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, out_ref,
     # scratch for dynamic indexing by the rolled shift loops
     shape = (TX, TY, TZ)
     for k, c in enumerate(_coef_planes(gx_ref[...], orders[0], sx0, sx1,
-                                       x0, 0, shape)):
+                                       x0, 0, shape,
+                                       deriv=(deriv_axis == 0))):
         cx_ref[k] = c
     for k, c in enumerate(_coef_planes(gy_ref[...], orders[1], sy0, sy1,
-                                       y0, 1, shape)):
+                                       y0, 1, shape,
+                                       deriv=(deriv_axis == 1))):
         cy_ref[k] = c
-    czs = _coef_planes(gz_ref[...], orders[2], sz0, sz1, z0, 2, shape)
+    czs = _coef_planes(gz_ref[...], orders[2], sz0, sz1, z0, 2, shape,
+                       deriv=(deriv_axis == 2))
 
     cp.wait()
 
@@ -145,7 +152,8 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                        orders: Tuple[int, ...], bounds: Tuple[int, ...],
                        extrapolate: int, max_disp: float,
                        tile: Tuple[int, int, int] = (8, 8, 128),
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       deriv_axis: int = None) -> jnp.ndarray:
     """Dense-grid 3D pull on the Pallas native tier.
 
     inp: (*ishape,); grid: (*ishape, 3).  Single channel — callers vmap
@@ -178,7 +186,8 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     ntiles = tuple(n // t for n, t in zip(ishape, tile))
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
-                     tile=tuple(tile), box_shape=box_shape)
+                     tile=tuple(tile), box_shape=box_shape,
+                     deriv_axis=deriv_axis)
     gspec = pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
                          memory_space=pltpu.VMEM)
     g = grid.astype(wdtype)
@@ -208,3 +217,164 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     if mask is not None:
         out = out * mask.reshape(ishape)
     return out
+
+
+# ---------------------------------------------------------------- push
+
+def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out,
+                 cx_ref, cy_ref, zslab_ref, sem, *,
+                 orders, ranges, tile, box_shape):
+    """Adjoint of _warp_kernel: splat one tile's values into its private
+    halo-extended box (written to HBM; overlapping boxes are added back
+    in XLA).  Transposed data movement: value-level rolls place each
+    shift's contribution, so no misaligned memref access is needed."""
+    TX, TY, TZ = tile
+    (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
+    Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
+    BXa, BYa, BZa = box_shape
+    ix, iy, iz = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    x0, y0, z0 = ix * TX, iy * TY, iz * TZ
+
+    shape = (TX, TY, TZ)
+    for k, c in enumerate(_coef_planes(gx_ref[...], orders[0], sx0, sx1,
+                                       x0, 0, shape)):
+        cx_ref[k] = c
+    for k, c in enumerate(_coef_planes(gy_ref[...], orders[1], sy0, sy1,
+                                       y0, 1, shape)):
+        cy_ref[k] = c
+    czs = _coef_planes(gz_ref[...], orders[2], sz0, sz1, z0, 2, shape)
+
+    val = val_ref[...]
+    # per-kz weighted values (unplaced), shared across (kx, ky)
+    vzs = jnp.stack([czs[kz] * val for kz in range(Sz)])  # (Sz, T*)
+    zpad = BZa - TZ
+
+    # z-deferred slab accumulation: zslab[ky, kz] accumulates the x-placed
+    # contributions in *unplaced* z, so the expensive lane rolls happen
+    # once per (ky, kz) at the end instead of once per (kx, ky, kz) term.
+    for ky in range(Sy):
+        zslab_ref[ky] = jnp.zeros((Sz, BXa, TY, TZ), dtype=val.dtype)
+
+    def ybody(ky, kx):
+        wxy = cx_ref[kx] * cy_ref[ky]
+        cur = zslab_ref[ky, :, pl.ds(kx, TX), :, :]
+        zslab_ref[ky, :, pl.ds(kx, TX), :, :] = cur + wxy[None] * vzs
+        return kx
+
+    def xbody(kx, _):
+        jax.lax.fori_loop(0, Sy, ybody, kx)
+        return 0
+
+    jax.lax.fori_loop(0, Sx, xbody, 0)
+
+    # fold the slabs into the box: z-place each (ky, kz) plane with one
+    # lane roll, then y-place each ky slab with one sublane roll
+    ypad = BYa - TY
+    acc = None
+    for ky in range(Sy):
+        zsum = None
+        for kz in range(Sz):
+            t = jnp.pad(zslab_ref[ky, kz], ((0, 0), (0, 0), (0, zpad)))
+            t = t if kz == 0 else pltpu.roll(t, kz, 2)
+            zsum = t if zsum is None else zsum + t
+        t = jnp.pad(zsum, ((0, 0), (0, ypad), (0, 0)))
+        t = t if ky == 0 else pltpu.roll(t, ky, 1)
+        acc = t if acc is None else acc + t
+    box_out[0, 0, 0] = acc
+
+
+def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
+                       orders: Tuple[int, ...], bounds: Tuple[int, ...],
+                       extrapolate: int, max_disp: float,
+                       tile: Tuple[int, int, int] = None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Dense-grid 3D push (exact adjoint of pull_window_pallas).
+
+    inp: (*ishape,) values at grid sites; grid: (*ishape, 3).  Returns
+    the splatted (*ishape,) volume.  Kernel splats per-tile private boxes
+    (race-free by construction); the overlap-add and the boundary-fold of
+    the pad margins run in XLA with static indices.
+    """
+    from .window import _window_geom  # local import to avoid cycle
+
+    tile = tile or default_tile()
+    ishape = tuple(inp.shape)
+    D = 3
+    if grid.shape != ishape + (D,):
+        raise ValueError("push_window_pallas needs a dense (X,Y,Z,3) grid")
+    for n, t in zip(ishape, tile):
+        if n % t:
+            raise ValueError(f"shape {ishape} not divisible by tile {tile}")
+    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+
+    ranges = tuple(window_range(orders[d], max_disp) for d in range(D))
+    lo, hi = _window_geom(orders, max_disp, D)
+    S = tuple(r[1] - r[0] + 1 for r in ranges)
+    need = [t + s - 1 for t, s in zip(tile, S)]
+    align = (1, 8, 128)
+    box_shape = tuple(-(-n // a) * a for n, a in zip(need, align))
+    hi = [h + (b - n) for h, b, n in zip(hi, box_shape, need)]
+    ntiles = tuple(n // t for n, t in zip(ishape, tile))
+    pshape = tuple(n + l + h for n, l, h in zip(ishape, lo, hi))
+
+    # extrapolation mask applies to the *values* before splatting
+    vals = inp.astype(wdtype)
+    mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
+    if mask is not None:
+        vals = vals * mask.reshape(ishape)
+
+    kernel = partial(_push_kernel, orders=tuple(orders), ranges=ranges,
+                     tile=tuple(tile), box_shape=box_shape)
+    gspec = pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM)
+    g = grid.astype(wdtype)
+    boxes = pl.pallas_call(
+        kernel,
+        grid=ntiles,
+        in_specs=[gspec, gspec, gspec, gspec],
+        out_specs=pl.BlockSpec((1, 1, 1) + box_shape,
+                               lambda i, j, k: (i, j, k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(ntiles + box_shape, wdtype),
+        scratch_shapes=[
+            pltpu.VMEM((S[0],) + tuple(tile), wdtype),
+            pltpu.VMEM((S[1],) + tuple(tile), wdtype),
+            pltpu.VMEM((S[1], S[2], box_shape[0], tile[1], tile[2]),
+                       wdtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(g[..., 0], g[..., 1], g[..., 2], vals)
+
+    # XLA epilogue 1: overlap-add the private boxes into the padded
+    # volume — scatter-free: boxes are regularly strided (origin =
+    # tile origin in padded coords), so padding each box to a whole
+    # number of tile-sized chunks turns the overlap-add into a few
+    # static dense block adds (a scatter formulation of this step was
+    # measured to dominate the whole op).
+    nch = tuple(-(-b // t) for b, t in zip(box_shape, tile))
+    BP = tuple(c * t for c, t in zip(nch, tile))
+    boxes = jnp.pad(boxes, [(0, 0)] * 3
+                    + [(0, p - b) for p, b in zip(BP, box_shape)])
+    accw = tuple(max(p, n - t + bp) for p, n, t, bp
+                 in zip(pshape, ishape, tile, BP))
+    acc = jnp.zeros(accw, wdtype)
+    for cx in range(nch[0]):
+        for cy in range(nch[1]):
+            for cz in range(nch[2]):
+                blk = boxes[:, :, :,
+                            cx * tile[0]:(cx + 1) * tile[0],
+                            cy * tile[1]:(cy + 1) * tile[1],
+                            cz * tile[2]:(cz + 1) * tile[2]]
+                blk = blk.transpose(0, 3, 1, 4, 2, 5).reshape(ishape)
+                acc = acc.at[cx * tile[0]:cx * tile[0] + ishape[0],
+                             cy * tile[1]:cy * tile[1] + ishape[1],
+                             cz * tile[2]:cz * tile[2] + ishape[2]
+                             ].add(blk)
+    acc = acc[:pshape[0], :pshape[1], :pshape[2]]
+
+    # XLA epilogue 2: fold the pad margins back through the boundary
+    # (adjoint of the pull path's _pad_folded), reusing the window
+    # implementation's margin logic
+    from .window import _fold_pad_margins
+    return _fold_pad_margins(acc[None], ishape, bounds, lo, hi, wdtype)[0]

@@ -206,6 +206,17 @@ def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     """(C, *ishape, D) spatial gradients of the spline surface."""
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
+    if _should_pallas(ishape):
+        # one derivative-coefficient pull per axis; the boundary-folded
+        # pad already carries the signs, so it serves gradients too
+        from .pallas_warp import pull_window_pallas
+        outs = [jnp.stack([pull_window_pallas(inp[c], grid, tuple(orders),
+                                              tuple(bounds), extrapolate,
+                                              float(max_disp),
+                                              deriv_axis=d)
+                           for d in range(D)], axis=-1)
+                for c in range(inp.shape[0])]
+        return jnp.stack(outs)
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
     vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)
@@ -231,6 +242,13 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     """
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
+    if _should_pallas(ishape):
+        from .pallas_warp import push_window_pallas
+        outs = [push_window_pallas(inp[c], grid, tuple(orders),
+                                   tuple(bounds), extrapolate,
+                                   float(max_disp))
+                for c in range(inp.shape[0])]
+        return jnp.stack(outs)
     C = inp.shape[0]
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -255,11 +273,18 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
             idx.append(slice(start, start + ishape[d]))
         acc = acc.at[tuple(idx)].add(vals * w[None])
 
-    # fold the pad margins back (adjoint of _pad_folded; static tables)
+    return _fold_pad_margins(acc, ishape, bounds, lo, hi, wdtype)
+
+
+def _fold_pad_margins(acc, ishape, bounds, lo, hi, wdtype):
+    """Adjoint of :func:`_pad_folded`: fold pad margins back into the
+    volume through the boundary (index scatter-add + signs; static
+    tables).  ``acc``: (..., *padded_shape) -> (..., *ishape)."""
+    D = len(ishape)
     out = acc
     for d in range(D):
         n = ishape[d]
-        axis = 1 + d
+        axis = out.ndim - D + d
         idx = np.arange(-lo[d], n + hi[d])
         folded = fold_index(idx, n, bounds[d], xp=np)
         sign = fold_sign(idx, n, bounds[d], wdtype, xp=np)

@@ -48,18 +48,18 @@ def done_keys():
 
 
 def measure_chain(f, args, feedback, iters=3):
-    out = f(*args)
-    _sync(out)
+    def run(n):
+        cur = args
+        out = None
+        for _ in range(n):
+            out = f(*cur)
+            cur = feedback(cur, out)
+        _sync(out)
+
+    run(2)    # compile the op AND the chain's auxiliary ops
     t0 = time.time()
-    _sync(out)
-    sync_s = time.time() - t0
-    t0 = time.time()
-    cur = args
-    for _ in range(iters):
-        out = f(*cur)
-        cur = feedback(cur, out)
-    _sync(out)
-    return max((time.time() - t0 - sync_s) / iters, 1e-9)
+    run(iters)
+    return max((time.time() - t0) / iters, 1e-9)
 
 
 def bench_op(op, n, order, dtype_name, max_disp=2.0):
