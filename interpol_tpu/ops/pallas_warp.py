@@ -55,9 +55,23 @@ from .ndkernels import inbounds_mask
 __all__ = ["pull_window_pallas", "push_window_pallas", "default_tile"]
 
 
-def default_tile() -> Tuple[int, int, int]:
-    """Best-measured tile on v5e (tile sweep, scripts/tpu_tile_sweep.py)."""
-    return (8, 8, 128)
+def default_tile(ishape: Tuple[int, ...] = None):
+    """Best-measured tile on v5e (tile sweep, scripts/tpu_tile_sweep.py),
+    adapted to the volume: the lane (z) tile prefers 128 but drops to any
+    divisor >= 64 so shapes like 192^3 stay on the fast path.  Returns
+    None if no suitable tile divides the shape."""
+    if ishape is None:
+        return (8, 8, 128)
+    if len(ishape) != 3:
+        return None
+    tx = next((t for t in (8, 4, 2, 1) if ishape[0] % t == 0), None)
+    # TY is a sublane extent of the slab scratches: must be a multiple of 8
+    ty = next((t for t in (8, 16) if ishape[1] % t == 0), None)
+    tz = next((t for t in (128, 64, 192, 256) if ishape[2] % t == 0
+               and ishape[2] >= t), None)
+    if tx is None or ty is None or tz is None:
+        return None
+    return (tx, ty, tz)
 
 
 def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
@@ -151,7 +165,7 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, out_ref,
 def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                        orders: Tuple[int, ...], bounds: Tuple[int, ...],
                        extrapolate: int, max_disp: float,
-                       tile: Tuple[int, int, int] = (8, 8, 128),
+                       tile: Tuple[int, int, int] = None,
                        interpret: bool = False,
                        deriv_axis: int = None) -> jnp.ndarray:
     """Dense-grid 3D pull on the Pallas native tier.
@@ -161,13 +175,17 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     ops/window.pull_window.
     """
     ishape = tuple(inp.shape)
+    tile = tile or default_tile(ishape) or (8, 8, 128)
     D = 3
     if grid.shape != ishape + (D,):
         raise ValueError("pull_window_pallas needs a dense (X,Y,Z,3) grid")
     for n, t in zip(ishape, tile):
         if n % t:
             raise ValueError(f"shape {ishape} not divisible by tile {tile}")
-    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    out_dtype = jnp.result_type(inp.dtype, grid.dtype)
+    # compute in at least f32: bf16 accumulation over S^3 taps is lossy
+    # and bf16 VMEM tiling differs (16-sublane)
+    wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
     ranges = tuple(window_range(orders[d], max_disp) for d in range(D))
     lo, hi = _window_geom(orders, max_disp, D)
@@ -216,7 +234,7 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
     if mask is not None:
         out = out * mask.reshape(ishape)
-    return out
+    return out.astype(out_dtype)
 
 
 # ---------------------------------------------------------------- push
@@ -297,15 +315,16 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     """
     from .window import _window_geom  # local import to avoid cycle
 
-    tile = tile or default_tile()
     ishape = tuple(inp.shape)
+    tile = tile or default_tile(ishape) or (8, 8, 128)
     D = 3
     if grid.shape != ishape + (D,):
         raise ValueError("push_window_pallas needs a dense (X,Y,Z,3) grid")
     for n, t in zip(ishape, tile):
         if n % t:
             raise ValueError(f"shape {ishape} not divisible by tile {tile}")
-    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    out_dtype = jnp.result_type(inp.dtype, grid.dtype)
+    wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
     ranges = tuple(window_range(orders[d], max_disp) for d in range(D))
     lo, hi = _window_geom(orders, max_disp, D)
@@ -377,4 +396,5 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     # (adjoint of the pull path's _pad_folded), reusing the window
     # implementation's margin logic
     from .window import _fold_pad_margins
-    return _fold_pad_margins(acc[None], ishape, bounds, lo, hi, wdtype)[0]
+    out = _fold_pad_margins(acc[None], ishape, bounds, lo, hi, wdtype)[0]
+    return out.astype(out_dtype)

@@ -170,9 +170,7 @@ def _should_pallas(ishape) -> bool:
     if be == "xla":
         return False
     from .pallas_warp import default_tile
-    tile = default_tile()
-    eligible = (len(ishape) == 3
-                and all(n % t == 0 for n, t in zip(ishape, tile)))
+    eligible = default_tile(ishape) is not None
     if be == "pallas":
         return eligible
     return eligible and jax.default_backend() == "tpu"
