@@ -114,8 +114,12 @@ def main():
         key = f"{op}_{n}_{order}_{dt}"
         if key in skip:
             continue
-        h = wait_healthy()
-        secs = bench_op(op, n, order, dt)
+        try:
+            h = wait_healthy()
+            secs = bench_op(op, n, order, dt)
+        except Exception as e:   # record and keep going
+            record({"key": key, "error": str(e)[:200]})
+            continue
         record({"key": key, "op": op, "size": n, "order": order,
                 "dtype": dt, "ms": round(secs * 1e3, 2),
                 "gvox_s": round(n ** 3 / secs / 1e9, 4),

@@ -41,3 +41,34 @@ def test_tile_divisibility_validated():
         pallas_warp.pull_window_pallas(inp, grid, (3,) * 3, (3,) * 3, 1,
                                        1.5, tile=(8, 8, 64),
                                        interpret=True)
+
+
+def test_adaptive_tile_192ish():
+    # 192-divisible shapes pick a 64-lane tile and stay exact
+    from interpol_tpu.ops.pallas_warp import default_tile
+    assert default_tile((192, 192, 192)) == (8, 8, 64)
+    assert default_tile((128, 128, 128)) == (8, 8, 128)
+    assert default_tile((100, 128, 128)) == (4, 8, 128)
+    assert default_tile((128, 100, 128)) is None   # sublane indivisible
+
+    inp, grid = case(ish=(16, 16, 192))
+    ref = window.pull_window(inp[None], grid, (3,) * 3, (3,) * 3, 1,
+                             1.5)[0]
+    out = pallas_warp.pull_window_pallas(inp, grid, (3,) * 3, (3,) * 3,
+                                         1, 1.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+
+
+def test_bf16_inputs_compute_f32():
+    # bf16 image with f32 coordinates (bf16 positions would quantize to
+    # half-voxel ulps at |g| ~ 100); internal compute is f32
+    inp, grid = case()
+    out = pallas_warp.pull_window_pallas(
+        inp.astype(jnp.bfloat16), grid.astype(jnp.float32),
+        (3,) * 3, (3,) * 3, 1, 1.5, tile=(8, 8, 64), interpret=True)
+    assert out.dtype == jnp.float32   # result_type(bf16, f32)
+    ref = window.pull_window(inp[None], grid, (3,) * 3, (3,) * 3, 1,
+                             1.5)[0]
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float64),
+                               np.asarray(ref), atol=0.05)
