@@ -67,8 +67,14 @@ def default_tile(ishape: Tuple[int, ...] = None):
     tx = next((t for t in (8, 4, 2, 1) if ishape[0] % t == 0), None)
     # TY is a sublane extent of the slab scratches: must be a multiple of 8
     ty = next((t for t in (8, 16) if ishape[1] % t == 0), None)
-    tz = next((t for t in (128, 64, 192, 256) if ishape[2] % t == 0
-               and ishape[2] >= t), None)
+    # lane tile must be a multiple of 128 or span the whole axis
+    nz = ishape[2]
+    if nz % 128 == 0:
+        tz = 128
+    elif nz <= 512:
+        tz = nz
+    else:
+        tz = None
     if tx is None or ty is None or tz is None:
         return None
     return (tx, ty, tz)

@@ -46,7 +46,8 @@ def test_tile_divisibility_validated():
 def test_adaptive_tile_192ish():
     # 192-divisible shapes pick a 64-lane tile and stay exact
     from interpol_tpu.ops.pallas_warp import default_tile
-    assert default_tile((192, 192, 192)) == (8, 8, 64)
+    # lane tiles must be 128-multiples or span the whole axis
+    assert default_tile((192, 192, 192)) == (8, 8, 192)
     assert default_tile((128, 128, 128)) == (8, 8, 128)
     assert default_tile((100, 128, 128)) == (4, 8, 128)
     assert default_tile((128, 100, 128)) is None   # sublane indivisible
