@@ -56,28 +56,26 @@ __all__ = ["pull_window_pallas", "push_window_pallas", "default_tile"]
 
 
 def default_tile(ishape: Tuple[int, ...] = None):
-    """Best-measured tile on v5e (tile sweep, scripts/tpu_tile_sweep.py),
-    adapted to the volume: the lane (z) tile prefers 128 but drops to any
-    divisor >= 64 so shapes like 192^3 stay on the fast path.  Returns
-    None if no suitable tile divides the shape."""
-    if ishape is None:
-        return (8, 8, 128)
-    if len(ishape) != 3:
+    """Best-measured tile on v5e (tile sweep, scripts/tpu_tile_sweep.py).
+    Any 3-D volume is eligible: the wrappers pad internally to tile
+    alignment (zeros beyond the folded window pad) and slice the result.
+    Returns None only for non-3-D shapes."""
+    if ishape is not None and len(ishape) != 3:
         return None
-    tx = next((t for t in (8, 4, 2, 1) if ishape[0] % t == 0), None)
-    # TY is a sublane extent of the slab scratches: must be a multiple of 8
-    ty = next((t for t in (8, 16) if ishape[1] % t == 0), None)
-    # lane tile must be a multiple of 128 or span the whole axis
-    nz = ishape[2]
-    if nz % 128 == 0:
-        tz = 128
-    elif nz <= 512:
-        tz = nz
-    else:
-        tz = None
-    if tx is None or ty is None or tz is None:
-        return None
-    return (tx, ty, tz)
+    return (8, 8, 128)
+
+
+def _aligned(ishape, tile):
+    """Volume shape rounded up to tile multiples."""
+    return tuple(-(-n // t) * t for n, t in zip(ishape, tile))
+
+
+def _pad_grid_edge(grid, ishape_a):
+    """Edge-replicate grid coordinates into the alignment margin (the
+    margin's outputs are discarded; edge coords keep the displacement
+    contract so the kernel computes harmless values there)."""
+    pads = [(0, a - n) for a, n in zip(ishape_a, grid.shape[:-1])]
+    return jnp.pad(grid, pads + [(0, 0)], mode="edge")
 
 
 def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
@@ -181,13 +179,12 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     ops/window.pull_window.
     """
     ishape = tuple(inp.shape)
-    tile = tile or default_tile(ishape) or (8, 8, 128)
+    tile = tile or default_tile(ishape)
     D = 3
+    if tile is None:
+        raise ValueError("pull_window_pallas is 3-D only")
     if grid.shape != ishape + (D,):
         raise ValueError("pull_window_pallas needs a dense (X,Y,Z,3) grid")
-    for n, t in zip(ishape, tile):
-        if n % t:
-            raise ValueError(f"shape {ishape} not divisible by tile {tile}")
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     # compute in at least f32: bf16 accumulation over S^3 taps is lossy
     # and bf16 VMEM tiling differs (16-sublane)
@@ -205,9 +202,16 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     box_shape = tuple(-(-n // a) * a for n, a in zip(need, align))
     hi = [h + (b - n) for h, b, n in zip(hi, box_shape, need)]
 
+    # boundary-folded window pad for the real volume, then zero-extend to
+    # tile alignment (the margin tiles compute garbage that is sliced off)
+    ishape_a = _aligned(ishape, tile)
     vpad = _pad_folded(inp.astype(wdtype)[None], ishape, bounds,
                        lo, hi, wdtype)[0]
-    ntiles = tuple(n // t for n, t in zip(ishape, tile))
+    extra = [a - n for a, n in zip(ishape_a, ishape)]
+    if any(extra):
+        vpad = jnp.pad(vpad, [(0, e) for e in extra])
+        grid = _pad_grid_edge(grid, ishape_a)
+    ntiles = tuple(a // t for a, t in zip(ishape_a, tile))
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
@@ -225,7 +229,7 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(ishape, wdtype),
+        out_shape=jax.ShapeDtypeStruct(ishape_a, wdtype),
         scratch_shapes=[
             pltpu.VMEM(box_shape, wdtype),
             pltpu.VMEM((S[1],) + box_shape, wdtype),
@@ -236,8 +240,10 @@ def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         ],
         interpret=interpret,
     )(g[..., 0], g[..., 1], g[..., 2], vpad)
+    out = out[:ishape[0], :ishape[1], :ishape[2]]
 
-    mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
+    gridr = grid[:ishape[0], :ishape[1], :ishape[2]]
+    mask = inbounds_mask(gridr.reshape(-1, D), ishape, extrapolate, wdtype)
     if mask is not None:
         out = out * mask.reshape(ishape)
     return out.astype(out_dtype)
@@ -322,13 +328,12 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     from .window import _window_geom  # local import to avoid cycle
 
     ishape = tuple(inp.shape)
-    tile = tile or default_tile(ishape) or (8, 8, 128)
+    tile = tile or default_tile(ishape)
     D = 3
+    if tile is None:
+        raise ValueError("push_window_pallas is 3-D only")
     if grid.shape != ishape + (D,):
         raise ValueError("push_window_pallas needs a dense (X,Y,Z,3) grid")
-    for n, t in zip(ishape, tile):
-        if n % t:
-            raise ValueError(f"shape {ishape} not divisible by tile {tile}")
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
@@ -339,14 +344,22 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     align = (1, 8, 128)
     box_shape = tuple(-(-n // a) * a for n, a in zip(need, align))
     hi = [h + (b - n) for h, b, n in zip(hi, box_shape, need)]
-    ntiles = tuple(n // t for n, t in zip(ishape, tile))
-    pshape = tuple(n + l + h for n, l, h in zip(ishape, lo, hi))
 
     # extrapolation mask applies to the *values* before splatting
     vals = inp.astype(wdtype)
     mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
     if mask is not None:
         vals = vals * mask.reshape(ishape)
+
+    # tile-alignment padding: zero values in the margin contribute
+    # nothing; edge-replicated grid coords keep the kernel well-defined
+    ishape_a = _aligned(ishape, tile)
+    extra = [a - n for a, n in zip(ishape_a, ishape)]
+    if any(extra):
+        vals = jnp.pad(vals, [(0, e) for e in extra])
+        grid = _pad_grid_edge(grid, ishape_a)
+    ntiles = tuple(a // t for a, t in zip(ishape_a, tile))
+    pshape = tuple(a + l + h for a, l, h in zip(ishape_a, lo, hi))
 
     kernel = partial(_push_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape)
@@ -382,7 +395,7 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     boxes = jnp.pad(boxes, [(0, 0)] * 3
                     + [(0, p - b) for p, b in zip(BP, box_shape)])
     accw = tuple(max(p, n - t + bp) for p, n, t, bp
-                 in zip(pshape, ishape, tile, BP))
+                 in zip(pshape, ishape_a, tile, BP))
     acc = jnp.zeros(accw, wdtype)
     for cx in range(nch[0]):
         for cy in range(nch[1]):
@@ -391,16 +404,19 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                             cx * tile[0]:(cx + 1) * tile[0],
                             cy * tile[1]:(cy + 1) * tile[1],
                             cz * tile[2]:(cz + 1) * tile[2]]
-                blk = blk.transpose(0, 3, 1, 4, 2, 5).reshape(ishape)
-                acc = acc.at[cx * tile[0]:cx * tile[0] + ishape[0],
-                             cy * tile[1]:cy * tile[1] + ishape[1],
-                             cz * tile[2]:cz * tile[2] + ishape[2]
+                blk = blk.transpose(0, 3, 1, 4, 2, 5).reshape(ishape_a)
+                acc = acc.at[cx * tile[0]:cx * tile[0] + ishape_a[0],
+                             cy * tile[1]:cy * tile[1] + ishape_a[1],
+                             cz * tile[2]:cz * tile[2] + ishape_a[2]
                              ].add(blk)
     acc = acc[:pshape[0], :pshape[1], :pshape[2]]
 
     # XLA epilogue 2: fold the pad margins back through the boundary
     # (adjoint of the pull path's _pad_folded), reusing the window
-    # implementation's margin logic
+    # implementation's margin logic (the alignment margin folds too —
+    # it only ever holds zeros)
     from .window import _fold_pad_margins
-    out = _fold_pad_margins(acc[None], ishape, bounds, lo, hi, wdtype)[0]
+    hi_tot = [h + e for h, e in zip(hi, extra)]
+    out = _fold_pad_margins(acc[None], ishape, bounds, lo, hi_tot,
+                            wdtype)[0]
     return out.astype(out_dtype)

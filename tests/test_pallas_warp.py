@@ -35,29 +35,22 @@ def test_interpret_matches_window(orders, bounds, ex):
                                atol=1e-12)
 
 
-def test_tile_divisibility_validated():
-    inp, grid = case(ish=(16, 16, 100))
-    with pytest.raises(ValueError):
-        pallas_warp.pull_window_pallas(inp, grid, (3,) * 3, (3,) * 3, 1,
-                                       1.5, tile=(8, 8, 64),
-                                       interpret=True)
-
-
-def test_adaptive_tile_192ish():
-    # 192-divisible shapes pick a 64-lane tile and stay exact
-    from interpol_tpu.ops.pallas_warp import default_tile
-    # lane tiles must be 128-multiples or span the whole axis
-    assert default_tile((192, 192, 192)) == (8, 8, 192)
-    assert default_tile((128, 128, 128)) == (8, 8, 128)
-    assert default_tile((100, 128, 128)) == (4, 8, 128)
-    assert default_tile((128, 100, 128)) is None   # sublane indivisible
-
-    inp, grid = case(ish=(16, 16, 192))
-    ref = window.pull_window(inp[None], grid, (3,) * 3, (3,) * 3, 1,
-                             1.5)[0]
-    out = pallas_warp.pull_window_pallas(inp, grid, (3,) * 3, (3,) * 3,
-                                         1, 1.5, interpret=True)
+@pytest.mark.parametrize("ish", [(16, 16, 100), (13, 10, 70),
+                                 (16, 16, 192)])
+def test_unaligned_shapes_via_padding(ish):
+    # any 3-D shape is eligible: the wrappers pad to tile alignment with
+    # zeros beyond the folded window pad and slice the result
+    inp, grid = case(ish=ish)
+    o, b = (3,) * 3, (3,) * 3
+    ref = window._pull_impl(inp[None], grid, o, b, 1, 1.5)[0]
+    out = pallas_warp.pull_window_pallas(inp, grid, o, b, 1, 1.5,
+                                         tile=(8, 8, 64), interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+    refp = window._push_impl(inp[None], grid, o, b, 1, 1.5)[0]
+    outp = pallas_warp.push_window_pallas(inp, grid, o, b, 1, 1.5,
+                                          tile=(8, 8, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
                                atol=1e-12)
 
 
