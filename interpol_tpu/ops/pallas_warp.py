@@ -33,8 +33,9 @@ Mosaic-shaped details (each learned from a failed compile):
 Traffic: ~1.2x volume read + volume write (vs ~S^3 x for the XLA path).
 Compute: S^3 fused multiply-adds per voxel on the VPU.
 
-Scope (v1): 3D, C folded into the batch/vmap outside, grids dense, tile
-sizes must divide the volume.  Falls back to ops/window.py elsewhere.
+Scope (v1): 3D, C folded into the batch/vmap outside, grids dense
+(arbitrary volume shapes — the wrappers pad to tile alignment and slice
+the result).  Falls back to ops/window.py elsewhere.
 """
 from __future__ import annotations
 

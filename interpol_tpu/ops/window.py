@@ -176,6 +176,15 @@ def _should_pallas(ishape) -> bool:
     return eligible and jax.default_backend() == "tpu"
 
 
+def _push_kernel_fits(orders, max_disp):
+    """The push kernel's compiled footprint grows with the window span;
+    windows wider than 12 (e.g. order 5 at max_disp=2) failed to compile
+    on v5e — fall back to the XLA formulation there."""
+    S = [r[1] - r[0] + 1
+         for r in (window_range(o, max_disp) for o in orders)]
+    return max(S) <= 12
+
+
 def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
@@ -240,7 +249,7 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     """
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
-    if _should_pallas(ishape):
+    if _should_pallas(ishape) and _push_kernel_fits(orders, max_disp):
         from .pallas_warp import push_window_pallas
         outs = [push_window_pallas(inp[c], grid, tuple(orders),
                                    tuple(bounds), extrapolate,
