@@ -29,8 +29,9 @@ point; the op does K x more FLOPs than the scalar recursion but those are
 MXU FLOPs against an HBM-bandwidth-bound problem — a single pass over the
 data instead of the log(n) passes of ``associative_scan``.
 
-Differentiation: the filter is linear, so its VJP is its exact transpose,
-obtained with ``jax.linear_transpose`` and encoded as a ``custom_vjp``.
+Differentiation: the filter is linear, so its VJP is its exact transpose
+(derived by reverse-mode through the linear forward, see ``_coeff_bwd``),
+encoded as a ``custom_vjp``.
 For dct2/dft boundaries the filter is self-adjoint and this coincides with
 the reference's backward ("apply the same filter to the cotangent",
 autograd.py:299-305); for dct1 the filter is *not* exactly self-adjoint in
@@ -285,6 +286,12 @@ def _coeff_bwd(order, bound, axis, _, ct):
         return (ct,)
     if _coeff_bound(bound) in ("dct2", "dft"):
         return (_coeff_impl(ct, order, bound, axis),)
+    # ``jax.linear_transpose`` would be the direct spelling, but this
+    # jax version cannot transpose the blocked ``lax.scan`` standalone
+    # (ad.ValAccum leaks into the scan transpose rule), so derive the
+    # pullback with ``jax.vjp`` at a zero primal instead.  The unused
+    # primal cascade is dead code XLA eliminates when this backward is
+    # traced under jit (the custom_vjp always is).
     f = lambda x: _coeff_impl(x, order, bound, axis)
     _, pullback = jax.vjp(f, jnp.zeros_like(ct))
     (dx,) = pullback(ct)

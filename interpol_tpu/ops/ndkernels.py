@@ -52,6 +52,20 @@ __all__ = [
     "pushgrad_core", "hess_core", "inbounds_mask",
 ]
 
+
+def _compute_dtypes(inp, grid):
+    """(output dtype, internal compute dtype).
+
+    Internal accumulation always runs in at least float32: two bf16
+    inputs would otherwise accumulate up to (order+1)^D = 512 taps in
+    bf16 — lossy and inconsistent with the window/Pallas tiers and with
+    the reference's AMP policy (interpol/autograd.py:12-47 casts kernel
+    inputs to fp32 under autocast).  The result is cast back to the
+    naturally promoted input dtype.
+    """
+    out_dtype = jnp.result_type(inp.dtype, grid.dtype)
+    return out_dtype, jnp.promote_types(out_dtype, jnp.float32)
+
 # Node-product iteration strategy: fully unroll tiny products (e.g. the
 # trilinear 8-corner loop) for the leanest possible program, and use a
 # rolled scan (unroll=1) beyond that so jaxpr size — and compile time — is
@@ -215,8 +229,8 @@ def pull_core(inp: jnp.ndarray, grid: jnp.ndarray,
     D = grid.shape[-1]
     ishape = inp.shape[-D:]
     C = inp.shape[0]
-    inp2 = inp.reshape(C, math.prod(ishape))
-    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    out_dtype, wdtype = _compute_dtypes(inp, grid)
+    inp2 = inp.reshape(C, math.prod(ishape)).astype(wdtype)
 
     mask = inbounds_mask(grid, fold_shapes or ishape, extrapolate, wdtype)
     tb = _TapTables(grid, ishape, orders, bounds, False, False, wdtype,
@@ -232,7 +246,7 @@ def pull_core(inp: jnp.ndarray, grid: jnp.ndarray,
     out = _scan_nodes(tb, body, jnp.zeros((C, grid.shape[0]), dtype=wdtype))
     if mask is not None:
         out = out * mask[None]
-    return out
+    return out.astype(out_dtype)
 
 
 def push_core(inp: jnp.ndarray, grid: jnp.ndarray, oshape: Tuple[int, ...],
@@ -245,13 +259,15 @@ def push_core(inp: jnp.ndarray, grid: jnp.ndarray, oshape: Tuple[int, ...],
     """
     C = inp.shape[0]
     V = math.prod(oshape)
-    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    out_dtype, wdtype = _compute_dtypes(inp, grid)
 
     mask = inbounds_mask(grid, fold_shapes or oshape, extrapolate, wdtype)
     tb = _TapTables(grid, oshape, orders, bounds, False, False, wdtype,
                     fold_shapes, shifts)
 
-    val0 = inp if mask is None else inp * mask[None]
+    val0 = inp.astype(wdtype)
+    if mask is not None:
+        val0 = val0 * mask[None]
 
     def body(out, j):
         lin, sign, rows = tb.select(j)
@@ -261,7 +277,7 @@ def push_core(inp: jnp.ndarray, grid: jnp.ndarray, oshape: Tuple[int, ...],
         return out.at[:, lin].add(val0 * w[None])
 
     out = _scan_nodes(tb, body, jnp.zeros((C, V), dtype=wdtype))
-    return out.reshape((C,) + tuple(oshape))
+    return out.reshape((C,) + tuple(oshape)).astype(out_dtype)
 
 
 def count_core(grid: jnp.ndarray, oshape: Tuple[int, ...],
@@ -286,8 +302,8 @@ def grad_core(inp: jnp.ndarray, grid: jnp.ndarray,
     D = grid.shape[-1]
     ishape = inp.shape[-D:]
     C = inp.shape[0]
-    inp2 = inp.reshape(C, math.prod(ishape))
-    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    out_dtype, wdtype = _compute_dtypes(inp, grid)
+    inp2 = inp.reshape(C, math.prod(ishape)).astype(wdtype)
 
     mask = inbounds_mask(grid, fold_shapes or ishape, extrapolate, wdtype)
     tb = _TapTables(grid, ishape, orders, bounds, True, False, wdtype,
@@ -305,7 +321,7 @@ def grad_core(inp: jnp.ndarray, grid: jnp.ndarray,
         tb, body, jnp.zeros((C, grid.shape[0], D), dtype=wdtype))
     if mask is not None:
         out = out * mask[None, :, None]
-    return out
+    return out.astype(out_dtype)
 
 
 def pushgrad_core(inp: jnp.ndarray, grid: jnp.ndarray,
@@ -319,11 +335,12 @@ def pushgrad_core(inp: jnp.ndarray, grid: jnp.ndarray,
     D = grid.shape[-1]
     C = inp.shape[0]
     V = math.prod(oshape)
-    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    out_dtype, wdtype = _compute_dtypes(inp, grid)
 
     mask = inbounds_mask(grid, oshape, extrapolate, wdtype)
     tb = _TapTables(grid, oshape, orders, bounds, True, False, wdtype)
 
+    inp = inp.astype(wdtype)
     if mask is not None:
         inp = inp * mask[None, :, None]
 
@@ -338,7 +355,7 @@ def pushgrad_core(inp: jnp.ndarray, grid: jnp.ndarray,
         return out.at[:, lin].add(acc)
 
     out = _scan_nodes(tb, body, jnp.zeros((C, V), dtype=wdtype))
-    return out.reshape((C,) + tuple(oshape))
+    return out.reshape((C,) + tuple(oshape)).astype(out_dtype)
 
 
 def hess_core(inp: jnp.ndarray, grid: jnp.ndarray,
@@ -352,8 +369,8 @@ def hess_core(inp: jnp.ndarray, grid: jnp.ndarray,
     D = grid.shape[-1]
     ishape = inp.shape[-D:]
     C = inp.shape[0]
-    inp2 = inp.reshape(C, math.prod(ishape))
-    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    out_dtype, wdtype = _compute_dtypes(inp, grid)
+    inp2 = inp.reshape(C, math.prod(ishape)).astype(wdtype)
 
     mask = inbounds_mask(grid, ishape, extrapolate, wdtype)
     tb = _TapTables(grid, ishape, orders, bounds, True, True, wdtype)
@@ -381,4 +398,4 @@ def hess_core(inp: jnp.ndarray, grid: jnp.ndarray,
     out = _scan_nodes(tb, body, jnp.zeros((C, P, D, D), dtype=wdtype))
     if mask is not None:
         out = out * mask[None, :, None, None]
-    return out
+    return out.astype(out_dtype)

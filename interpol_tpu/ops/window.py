@@ -50,7 +50,18 @@ __all__ = ["window_range", "pull_window", "push_window", "grad_window"]
 
 def window_range(order: int, max_disp: float) -> Tuple[int, int]:
     """Inclusive shift range [smin, smax] that covers every tap of a
-    sample within ``max_disp`` of its voxel."""
+    sample within ``max_disp`` of its voxel.
+
+    Order 0 is special-cased: its node is ``round(g)`` with
+    half-to-even ties (splines.node_origin), so the farthest reachable
+    node is ``floor(max_disp + 1/2)`` on either side (a displacement of
+    exactly ``k + 1/2`` may round away from the voxel) — the floor-based
+    formula below would clip the window asymmetrically and silently
+    drop the nearest-neighbor tap for ``|disp| > 1/2``.
+    """
+    if order == 0:
+        r = math.floor(max_disp + 0.5)
+        return -r, r
     a = max_disp + (order - 1) / 2
     d0min = math.floor(-a)
     d0max = math.floor(a)

@@ -274,3 +274,31 @@ class TestCountWindow:
                            extrapolate=True, max_disp=1.2)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-11)
+
+
+class TestComputeDtypePolicy:
+    """All tiers accumulate internally in at least float32 (reference AMP
+    analogue, interpol/autograd.py:12-47): bf16 inputs must agree with the
+    f32 computation to bf16 resolution, not drift by (order+1)^D bf16
+    roundings."""
+
+    @pytest.mark.parametrize("op", ["pull", "push", "grad"])
+    def test_bf16_matches_f32_generic_path(self, op):
+        rng = np.random.default_rng(11)
+        ish = (6, 7, 8)
+        img32 = rng.standard_normal((1, 2, *ish)).astype(np.float32)
+        ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
+                                     indexing="ij"), -1)
+        grid32 = (ident[None] + rng.uniform(-1, 1, (1, *ish, 3))
+                  ).astype(np.float32)
+        fn = {"pull": itp.grid_pull, "push": itp.grid_push,
+              "grad": itp.grid_grad}[op]
+        kw = dict(interpolation=5, bound="dct2", extrapolate=True)
+        ref = np.asarray(fn(img32, grid32, **kw), dtype=np.float32)
+        out = np.asarray(fn(jnp.asarray(img32, jnp.bfloat16),
+                            jnp.asarray(grid32, jnp.bfloat16), **kw))
+        assert out.dtype == jnp.bfloat16
+        scale = max(1.0, float(np.abs(ref).max()))
+        # bf16 has ~8 bits of mantissa: inputs were rounded to bf16, so
+        # allow a few ulp of headroom over 2^-8
+        assert np.abs(out.astype(np.float32) - ref).max() <= 0.1 * scale

@@ -54,6 +54,42 @@ def test_window_matches_core(D, order, bound, ex):
                                atol=1e-11)
 
 
+@pytest.mark.parametrize("max_disp", [0.5, 1.0, 1.5, 2.0])
+def test_window_order0_extreme_displacements(max_disp):
+    """Order 0 uses round-half-even nodes: the window must cover taps at
+    displacements of exactly ±max_disp and at half-integer crossings
+    (regression: the floor-based window formula dropped the tap for
+    |disp| > 0.5, returning 0 for ~half the voxels)."""
+    rng = np.random.default_rng(7)
+    ish = (9, 11)
+    D = 2
+    inp = jnp.asarray(rng.standard_normal((1, *ish)))
+    ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
+                                 indexing="ij"), -1).astype(np.float64)
+    eps = 1e-9
+    # deterministic extremes: window contract boundaries and every
+    # half-integer crossing inside the budget, both signs
+    vals = [0.0, max_disp, -max_disp, max_disp - eps, -(max_disp - eps)]
+    vals += [s * (k + 0.5) for k in range(int(max_disp + 0.5))
+             for s in (1.0, -1.0)]
+    vals += [s * (k + 0.5 - eps) for k in range(int(max_disp + 0.5))
+             for s in (1.0, -1.0)]
+    disp = np.asarray(vals)[
+        rng.integers(0, len(vals), ident.shape)]
+    grid = jnp.asarray(ident + disp)
+    o, b = (0,) * D, (3,) * D
+    ref = nd.pull_core(inp, grid.reshape(-1, D), o, b, 1).reshape(
+        inp.shape)
+    out = wd.pull_window(inp, grid, o, b, 1, max_disp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+    refp = nd.push_core(inp.reshape(inp.shape[0], -1),
+                        grid.reshape(-1, D), ish, o, b, 1)
+    outp = wd.push_window(inp, grid, o, b, 1, max_disp)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                               atol=1e-12)
+
+
 def test_window_adjoint():
     inp, grid, ish = warp_case(2, seed=1)
     u = jnp.asarray(np.random.default_rng(2).standard_normal(inp.shape))
