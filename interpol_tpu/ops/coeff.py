@@ -113,62 +113,91 @@ def _powers(pole: float, start: int, stop: int, dtype) -> jnp.ndarray:
 
 
 # ------------------------------------------------- boundary conditions
-# All operate on x of shape (L, n) along the last axis and return (L,).
+# All operate along ``axis`` of an arbitrary-rank array and return the
+# array with that axis dropped (one initial value per line), in layout —
+# no transposes.
 
-def _dct1_initial(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+def _tk(x: jnp.ndarray, axis: int, start: int, stop: int) -> jnp.ndarray:
+    """Static slice [start:stop] along ``axis`` (negatives allowed)."""
+    n = x.shape[axis]
+    start %= n
+    stop = n if stop is None else (stop if stop >= 0 else stop + n)
+    return jax.lax.slice_in_dim(x, start, stop, axis=axis)
+
+
+def _el(x: jnp.ndarray, axis: int, i: int) -> jnp.ndarray:
+    """Element ``i`` along ``axis`` (axis dropped)."""
+    return jax.lax.index_in_dim(x, i % x.shape[axis], axis=axis,
+                                keepdims=False)
+
+
+# On TPU the default f32 matmul runs in truncated-bf16 passes — far too
+# coarse for an *exact* prefilter (the resize-identity contract).  Every
+# contraction in this module pins full-f32 accumulation.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _dotw(x: jnp.ndarray, w: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract ``w`` against ``axis`` of ``x`` (axis dropped)."""
+    return jnp.tensordot(x, w, axes=((axis,), (0,)), precision=_PREC)
+
+
+def _dct1_initial(x: jnp.ndarray, pole: float, axis: int) -> jnp.ndarray:
     """Mirror boundary, causal init (reference coeff.py:109-149)."""
-    n = x.shape[-1]
+    n = x.shape[axis]
     m = _horizon(pole)
     if m < n:
         w = _powers(pole, 0, m, x.dtype)
-        return x[:, :m] @ w
+        return _dotw(_tk(x, axis, 0, m), w, axis)
     polen = pole ** (n - 1)
-    out = x[:, 0] + polen * x[:, -1]
+    out = _el(x, axis, 0) + polen * _el(x, axis, -1)
     if n > 2:
         k = jnp.arange(1, n - 1, dtype=x.dtype)
         pk = jnp.asarray(pole, x.dtype) ** k
         w = pk + (polen * polen) / pk
-        out = out + x[:, 1:-1] @ w
+        out = out + _dotw(_tk(x, axis, 1, -1), w, axis)
     return out / (1. - pole ** (2 * (n - 1)))
 
 
-def _dct2_initial(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+def _dct2_initial(x: jnp.ndarray, pole: float, axis: int) -> jnp.ndarray:
     """Reflect boundary, causal init (ported math from scipy ni_splines.c
     via reference coeff.py:152-179)."""
-    n = x.shape[-1]
+    n = x.shape[axis]
     polen = pole ** n
     w = _powers(pole, 0, n, x.dtype)
     w = w + polen * w[::-1]
-    out = (x @ w) * (pole / (1. - polen * polen))
-    return out + x[:, 0]
+    out = _dotw(x, w, axis) * (pole / (1. - polen * polen))
+    return out + _el(x, axis, 0)
 
 
-def _dft_initial(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+def _dft_initial(x: jnp.ndarray, pole: float, axis: int) -> jnp.ndarray:
     """Wrap boundary, causal init (reference coeff.py:82-105)."""
-    n = x.shape[-1]
+    n = x.shape[axis]
     m = min(_horizon(pole), n)
     # sum_{k=1..m-1} p^k x[n-k]  ==  x[n-m+1 .. n-1] . [p^(m-1) .. p^1]
     w = _powers(pole, 1, m, x.dtype)[::-1]
-    out = x[:, n - m + 1:] @ w + x[:, 0]
+    out = _dotw(_tk(x, axis, n - m + 1, None), w, axis) + _el(x, axis, 0)
     return out / (1. - pole ** m)
 
 
-def _dct1_final(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+def _dct1_final(x: jnp.ndarray, pole: float, axis: int) -> jnp.ndarray:
     """Mirror boundary, anticausal init (reference coeff.py:210-216)."""
-    return (pole * x[:, -2] + x[:, -1]) * (pole / (pole * pole - 1.))
+    return (pole * _el(x, axis, -2) + _el(x, axis, -1)) * (
+        pole / (pole * pole - 1.))
 
 
-def _dct2_final(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+def _dct2_final(x: jnp.ndarray, pole: float, axis: int) -> jnp.ndarray:
     """Reflect boundary, anticausal init (reference coeff.py:220-227)."""
-    return x[:, -1] * (pole / (pole - 1.))
+    return _el(x, axis, -1) * (pole / (pole - 1.))
 
 
-def _dft_final(x: jnp.ndarray, pole: float) -> jnp.ndarray:
+def _dft_final(x: jnp.ndarray, pole: float, axis: int) -> jnp.ndarray:
     """Wrap boundary, anticausal init (reference coeff.py:183-206)."""
-    n = x.shape[-1]
+    n = x.shape[axis]
     m = min(_horizon(pole), n)
     w = _powers(pole, 2, m + 1, x.dtype)
-    out = x[:, :m - 1] @ w[:m - 1] + pole * x[:, -1]
+    out = _dotw(_tk(x, axis, 0, m - 1), w[:m - 1], axis) \
+        + pole * _el(x, axis, -1)
     return out / (pole ** m - 1.)
 
 
@@ -193,54 +222,113 @@ _FINAL = {"dct1": _dct1_final, "dct2": _dct2_final, "dft": _dft_final}
 
 # ------------------------------------------------- blocked recurrence
 
-def _chain(x: jnp.ndarray, pole: float, h0: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate h[0] = h0;  h[i] = x[i] + pole*h[i-1]  for i = 1..n-1.
-
-    x: (L, n) — x[:, 0] is ignored (replaced by h0).  Returns (L, n).
-    Blocked Toeplitz-matmul scan; single pass over the data.
-    """
-    L, n = x.shape
-    if n == 1:
-        return h0[:, None]
-    body = x[:, 1:]                                   # (L, n-1) inputs
-    k = min(_CHUNK, n - 1)
-    nchunks = -(-(n - 1) // k)
-    pad = nchunks * k - (n - 1)
-    if pad:
-        body = jnp.pad(body, ((0, 0), (0, pad)))
-    body = body.reshape(L, nchunks, k)
-
+def _toeplitz(pole: float, k: int, dtype, anticausal: bool) -> jnp.ndarray:
+    """T[i, j] = pole^(i-j) on the lower (causal) or pole^(j-i) on the
+    upper (anticausal) triangle; 0 elsewhere."""
     i = jnp.arange(k)
     expo = i[:, None] - i[None, :]
-    T = jnp.where(expo >= 0, jnp.asarray(pole, x.dtype) ** expo, 0)
-    carry_pow = _powers(pole, 1, k + 1, x.dtype)      # (k,)
-
-    def step(carry, xc):                              # carry (L,), xc (L, k)
-        h = xc @ T.T + carry[:, None] * carry_pow[None]
-        return h[:, -1], h
-
-    _, hs = jax.lax.scan(step, h0, jnp.swapaxes(body, 0, 1))
-    h = jnp.swapaxes(hs, 0, 1).reshape(L, nchunks * k)[:, :n - 1]
-    return jnp.concatenate([h0[:, None], h], axis=-1)
+    if anticausal:
+        expo = -expo
+    return jnp.where(expo >= 0, jnp.asarray(pole, dtype) ** expo, 0)
 
 
-def _filter_lines(x: jnp.ndarray, poles: Sequence[float],
-                  btype: str) -> jnp.ndarray:
-    """Full prefilter cascade along the last axis of (L, n) lines
-    (reference filter(): coeff.py:257-284)."""
-    n = x.shape[-1]
+def _apply_T(T: jnp.ndarray, xc: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract T's second index against ``axis`` of xc, leaving the
+    result index *in place* — a layout-preserving chunk matmul.  Leading
+    and trailing axes lower to clean (k,k)@(k,N) / (M,k)@(k,k) MXU forms;
+    middle axes lower to a batched matmul."""
+    nd = xc.ndim
+    if axis % nd == 0:
+        return jnp.tensordot(T, xc, axes=((1,), (0,)), precision=_PREC)
+    if axis % nd == nd - 1:
+        return jnp.tensordot(xc, T, axes=((axis,), (1,)), precision=_PREC)
+    letters = "abcdefghmnopqrstuvw"
+    pre = letters[:axis]
+    post = letters[axis:nd - 1]
+    return jnp.einsum(f"ij,{pre}j{post}->{pre}i{post}", T, xc,
+                      precision=_PREC)
+
+
+def _chain_axis(x: jnp.ndarray, pole: float, first: jnp.ndarray,
+                axis: int, anticausal: bool = False) -> jnp.ndarray:
+    """First-order linear recurrence along ``axis``, in layout.
+
+    causal:      h[0] = first;   h[i] = x[i] + pole*h[i-1]
+    anticausal:  h[n-1] = first; h[i] = x[i] + pole*h[i+1]
+
+    One pass over the data: chunks of K elements are solved with a
+    triangular-Toeplitz (K x K) matmul on the MXU (exact: |pole| < 1 so
+    pole^K underflows) plus a rank-1 carry term, scanning chunk index in
+    recursion order and updating a preallocated buffer in place.
+    """
+    axis %= x.ndim
+    n = x.shape[axis]
     if n == 1:
+        return jnp.expand_dims(first, axis)
+    # replace the seed element so the chunk matmul reproduces it exactly
+    # (T row 0 is e0 for causal / row k-1 is e_{k-1} anticausal)
+    seed_idx = n - 1 if anticausal else 0
+    x = jax.lax.dynamic_update_slice_in_dim(
+        x, jnp.expand_dims(first.astype(x.dtype), axis), seed_idx, axis)
+    k = min(_CHUNK, n)
+    nchunks = -(-n // k)
+    pad = nchunks * k - n
+    if pad:
+        # zero-pad on the far side of the recursion start so pad lanes
+        # never feed real outputs' carries
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (pad, 0) if anticausal else (0, pad)
+        x = jnp.pad(x, cfg)
+    T = _toeplitz(pole, k, x.dtype, anticausal)
+    # carry enters chunk element i as pole^(i+1) (causal, carry = previous
+    # chunk's last) or pole^(k-i) (anticausal, carry = next chunk's first)
+    cp = _powers(pole, 1, k + 1, x.dtype)
+    if anticausal:
+        cp = cp[::-1]
+    cshape = [1] * x.ndim
+    cshape[axis] = k
+    cp = cp.reshape(cshape)
+    zero = jnp.zeros([d for i, d in enumerate(x.shape) if i != axis],
+                     x.dtype)
+
+    order = range(nchunks - 1, -1, -1) if anticausal else range(nchunks)
+
+    def step(state, j):
+        carry, out = state
+        xc = jax.lax.dynamic_slice_in_dim(x, j * k, k, axis)
+        h = _apply_T(T, xc, axis) + carry_term(carry)
+        nxt = jax.lax.index_in_dim(h, 0 if anticausal else k - 1,
+                                   axis=axis, keepdims=False)
+        out = jax.lax.dynamic_update_slice_in_dim(out, h, j * k, axis)
+        return (nxt, out), None
+
+    def carry_term(c):
+        return jnp.expand_dims(c, axis) * cp
+
+    state = (zero, jnp.zeros_like(x))
+    (_, out), _ = jax.lax.scan(step, state,
+                               jnp.asarray(list(order), jnp.int32))
+    if pad:
+        out = jax.lax.slice_in_dim(out, pad if anticausal else 0,
+                                   (pad + n) if anticausal else n,
+                                   axis=axis)
+    return out
+
+
+def _filter_axis(x: jnp.ndarray, poles: Sequence[float], btype: str,
+                 axis: int) -> jnp.ndarray:
+    """Full prefilter cascade along ``axis``, transpose- and flip-free
+    (reference filter(): coeff.py:257-284 runs a scalar Python loop)."""
+    if x.shape[axis] == 1:
         return x
     x = x * jnp.asarray(get_gain(poles), x.dtype)
     for pole in poles:
         # causal pass
-        c0 = _INITIAL[btype](x, pole)
-        c = _chain(x, pole, c0)
+        c0 = _INITIAL[btype](x, pole, axis)
+        c = _chain_axis(x, pole, c0, axis)
         # anticausal pass: d[n-1] = final(c); d[i] = pole*(d[i+1] - c[i])
-        dn = _FINAL[btype](c, pole)
-        rev = (-pole) * c[:, ::-1]
-        d = _chain(rev, pole, dn)
-        x = d[:, ::-1]
+        dn = _FINAL[btype](c, pole, axis)
+        x = _chain_axis((-pole) * c, pole, dn, axis, anticausal=True)
     return x
 
 
@@ -262,13 +350,7 @@ def _coeff_impl(inp, order, bound, axis):
         return inp
     btype = _coeff_bound(bound)
     poles = get_poles(order)
-    axis = axis % inp.ndim
-    x = jnp.moveaxis(inp, axis, -1)
-    shape = x.shape
-    x = x.reshape(-1, shape[-1])
-    x = _filter_lines(x, poles, btype)
-    x = x.reshape(shape)
-    return jnp.moveaxis(x, -1, axis)
+    return _filter_axis(inp, poles, btype, axis % inp.ndim)
 
 
 def _coeff_fwd(inp, order, bound, axis):

@@ -62,9 +62,16 @@ def window_range(order: int, max_disp: float) -> Tuple[int, int]:
     if order == 0:
         r = math.floor(max_disp + 0.5)
         return -r, r
-    a = max_disp + (order - 1) / 2
-    d0min = math.floor(-a)
-    d0max = math.floor(a)
+    # node origin is floor(g - (order-1)/2) (splines.node_origin), so for
+    # g = p + d with |d| <= max_disp the reachable origins are exactly
+    #   delta0 = floor(d - (order-1)/2)
+    #          in [floor(-max_disp - a), floor(max_disp - a)],  a=(order-1)/2
+    # and the taps extend ``order`` past the top origin.  (A symmetric
+    # ±(max_disp + a) bound is ~(order-1) shifts too wide at the top —
+    # 2x the 3-D FLOPs at order 3.)
+    a = (order - 1) / 2
+    d0min = math.floor(-max_disp - a)
+    d0max = math.floor(max_disp - a)
     return d0min, d0max + order
 
 
