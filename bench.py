@@ -1,7 +1,8 @@
 """Benchmark harness: 3D cubic grid_pull throughput on one chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "Gvox/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "Gvox/s", "vs_baseline": N,
+     "parity_maxabs": N}
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 measured against the driver-assigned north star: 70% of the HBM roofline
@@ -10,9 +11,17 @@ needs ~20 B of HBM traffic (amortized input read 4 B + grid 12 B +
 output write 4 B); at ~819 GB/s (v5e) that is ~41 Gvox/s, so the
 baseline target is 0.7 * 41 = 28.7 Gvox/s.
 
-Timing method: the platform tunnel has high sync latency and an async
-dispatch queue, so each sample chains iterations through a data
-dependency and the (separately measured) sync overhead is subtracted.
+``parity_maxabs`` is the compiled-path correctness gate: max |Pallas -
+XLA| of pull/grad/push on the real chip (CI runs the kernels in
+interpret mode only; this catches Mosaic lowering divergence).
+
+Timing method: the device tunnel costs ~3 ms per dispatch and has a
+large sync latency, so the op is applied in a data-dependent chain of R
+applications *inside one jit* and timed at two chain lengths; the slope
+(t_R2 - t_R1) / (R2 - R1) is the per-application time with dispatch and
+sync overhead cancelled.  This measures the op, not the tunnel — in
+production (local chips, many ops per jitted step) the dispatch floor
+does not exist.
 """
 import json
 import sys
@@ -49,67 +58,88 @@ def wait_healthy(limit=5.0, tries=30):
     return h
 
 
-def measure(f, args, iters=4, chain=None):
-    """Wall time per iteration with a data-dependency chain.  The first
-    full chain pass is discarded: it compiles both the op under test and
-    every auxiliary op of the chain itself (measuring from the second
-    call was shown to bill ~400 ms of auxiliary compiles to the op)."""
-    def run(n):
-        cur = args
-        out = None
-        for _ in range(n):
-            out = f(*cur)
-            if chain is not None:
-                cur = chain(cur, out)
-        _sync(out)
+def slope_time(make_f, args, R1=1, R2=5, iters=4):
+    """Per-application wall time: in-jit chains of R1 and R2 op
+    applications, slope between the two chain lengths (dispatch + sync
+    overhead cancels)."""
+    ts = []
+    for R in (R1, R2):
+        f = jax.jit(make_f(R))
 
-    run(2)              # compile op + chain auxiliaries, settle
-    t0 = time.time()
-    run(iters)
-    return max((time.time() - t0) / iters, 1e-9)
+        def run(n):
+            cur = args
+            out = None
+            for _ in range(n):
+                out = f(*cur)
+                cur = (cur[0] + jnp.ravel(out)[0] * 1e-30,) + cur[1:]
+            _sync(jnp.ravel(out)[:1])
+
+        run(2)              # compile + settle
+        t0 = time.time()
+        run(iters)
+        ts.append((time.time() - t0) / iters)
+    return max((ts[1] - ts[0]) / (R2 - R1), 1e-9)
 
 
-def bench_pull(n=128, order=3, dtype=jnp.float32, max_disp=2.0,
-               path="window"):
+def _data(n, max_disp, C=1, seed=0):
     import interpol_tpu as itp
-    from interpol_tpu.ops import pushpull as pp
+    rng = np.random.default_rng(seed)
+    vol = jnp.asarray(rng.standard_normal((C, n, n, n)).astype(np.float32))
+    grid = (itp.identity_grid((n, n, n), dtype=jnp.float32)
+            + jnp.asarray(rng.uniform(-max_disp, max_disp,
+                                      (n, n, n, 3)).astype(np.float32)))
+    return vol, grid
+
+
+def parity_gate(n=32, order=3, max_disp=2.0):
+    """Compiled Pallas vs XLA window formulation, on-chip."""
+    from interpol_tpu import backend
     from interpol_tpu.ops import window as wd
 
-    rng = np.random.default_rng(0)
-    vol = jnp.asarray(rng.standard_normal((1, 1, n, n, n)).astype(
-        np.float32)).astype(dtype)
-    grid = (itp.identity_grid((n, n, n), dtype=jnp.float32)[None]
-            + jnp.asarray(rng.uniform(-max_disp, max_disp,
-                                      (1, n, n, n, 3)).astype(np.float32))
-            ).astype(dtype)
+    vol, grid = _data(n, max_disp, C=2, seed=1)
+    o, b = (order,) * 3, (3,) * 3
+    outs = {}
+    for be in ("pallas", "xla"):
+        with backend.use_backend(be):
+            p = jax.jit(lambda v, g: wd._pull_impl(v, g, o, b, 1,
+                                                   max_disp))(vol, grid)
+            gr = jax.jit(lambda v, g: wd._grad_impl(v, g, o, b, 1,
+                                                    max_disp))(vol, grid)
+            ps = jax.jit(lambda v, g: wd._push_impl(v, g, o, b, 1,
+                                                    max_disp))(vol, grid)
+            outs[be] = (np.asarray(p), np.asarray(gr), np.asarray(ps))
+    return max(float(np.abs(a - c).max())
+               for a, c in zip(outs["pallas"], outs["xla"]))
 
-    if path == "window":
-        f = jax.jit(lambda v, g: jax.vmap(
-            lambda vv, gg: wd.pull_window(vv, gg, (order,) * 3, (3,) * 3,
-                                          1, max_disp))(v, g))
-    else:
-        f = jax.jit(lambda v, g: pp.pull(v, g, (order,) * 3, (3,) * 3, 1))
 
-    def chain(args, out):
-        # thread a scalar of the output back into the input volume so
-        # iterations are truly serialized on-device
-        v, g = args
-        return (v + out[0, 0, 0, 0, 0] * 1e-30, g)
+def bench_pull(n=256, order=3, max_disp=2.0):
+    from interpol_tpu.ops import window as wd
 
-    dt = measure(f, (vol, grid), iters=4, chain=chain)
+    vol, grid = _data(n, max_disp)
+    o, b = (order,) * 3, (3,) * 3
+
+    def mk(R):
+        def f(v, g):
+            for _ in range(R):
+                v = wd.pull_window(v, g, o, b, 1, max_disp)
+            return v
+        return f
+
+    dt = slope_time(mk, (vol, grid))
     return n ** 3 / dt / 1e9
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    path = sys.argv[2] if len(sys.argv) > 2 else "window"
     wait_healthy()
-    gvox = bench_pull(n=n, path=path)
+    parity = parity_gate()
+    gvox = bench_pull(n=n)
     print(json.dumps({
-        "metric": f"3d_cubic_warp_pull_{n}cubed_fp32_{path}",
+        "metric": f"3d_cubic_warp_pull_{n}cubed_fp32_window",
         "value": round(gvox, 4),
         "unit": "Gvox/s",
         "vs_baseline": round(gvox / BASELINE_GVOX, 5),
+        "parity_maxabs": float(f"{parity:.3e}"),
     }))
 
 

@@ -12,7 +12,19 @@ interpol/coeff.py (poles: coeff.py:34-65, gain: 68-73, boundary conditions:
 
 The TPU-native part is *how* the recursion runs.  The reference executes a
 Python-level sequential loop per element (coeff.py:275-281) — the single
-most accelerator-hostile construct in that codebase.  Here the recurrence
+most accelerator-hostile construct in that codebase.  Two strategies:
+
+1. **Matrix path** (default, axis length n <= _MATRIX_MAX): the whole
+   per-axis cascade — gain, every pole's causal+anticausal passes, and
+   the boundary initial/final conditions — is one fixed linear operator
+   on a line.  Its (n, n) matrix is built once per (n, order, bound) at
+   trace time by running the exact scalar recursion on the identity in
+   float64 numpy (cached), and the filter becomes a single MXU matmul
+   per axis: one pass over the data, zero sequential dependence, exact
+   transpose for the VJP.  O(n) FLOPs per voxel, but they ride the MXU
+   against an HBM-bandwidth-bound problem.
+
+2. **Blocked-scan path** (n > _MATRIX_MAX): the recurrence
 
     h[i] = x[i] + p * h[i-1]
 
@@ -220,6 +232,87 @@ _INITIAL = {"dct1": _dct1_initial, "dct2": _dct2_initial, "dft": _dft_initial}
 _FINAL = {"dct1": _dct1_final, "dct2": _dct2_final, "dft": _dft_final}
 
 
+# ------------------------------------------------- matrix path
+# Axis lengths up to this use the precomputed inverse-filter matrix; the
+# (n, n) f32 constant costs n^2 * 4 B (16 MB at n = 2048).
+_MATRIX_MAX = 2048
+
+
+def _np_initial(x, pole: float, btype: str):
+    """Causal init on numpy lines (axis 0), mirroring _INITIAL."""
+    import numpy as np
+    n = x.shape[0]
+    m = _horizon(pole)
+    if btype == "dct1":
+        if m < n:
+            w = pole ** np.arange(m)
+            return w @ x[:m]
+        polen = pole ** (n - 1)
+        out = x[0] + polen * x[-1]
+        if n > 2:
+            k = np.arange(1, n - 1)
+            pk = pole ** k
+            out = out + (pk + (polen * polen) / pk) @ x[1:-1]
+        return out / (1. - pole ** (2 * (n - 1)))
+    if btype == "dct2":
+        polen = pole ** n
+        w = pole ** np.arange(n)
+        w = w + polen * w[::-1]
+        return (w @ x) * (pole / (1. - polen * polen)) + x[0]
+    # dft
+    m = min(m, n)
+    w = (pole ** np.arange(1, m))[::-1]
+    out = w @ x[n - m + 1:] if m > 1 else 0.
+    return (out + x[0]) / (1. - pole ** m)
+
+
+def _np_final(x, pole: float, btype: str):
+    """Anticausal init on numpy lines (axis 0), mirroring _FINAL."""
+    import numpy as np
+    n = x.shape[0]
+    if btype == "dct1":
+        return (pole * x[-2] + x[-1]) * (pole / (pole * pole - 1.))
+    if btype == "dct2":
+        return x[-1] * (pole / (pole - 1.))
+    m = min(_horizon(pole), n)
+    w = pole ** np.arange(2, m + 1)
+    out = w[:m - 1] @ x[:m - 1] + pole * x[-1]
+    return out / (pole ** m - 1.)
+
+
+def _filter_matrix_np(n: int, order: int, btype: str):
+    """(n, n) float64 matrix of the full per-axis prefilter cascade,
+    built by running the exact scalar recursion on the identity.
+
+    The filter is linear, so applying it to I_n column-wise yields the
+    operator exactly — including the truncated-horizon boundary
+    initializations (reference coeff.py:82-227) and the gain."""
+    import numpy as np
+    poles = get_poles(order)
+    x = np.eye(n) * get_gain(poles)
+    for pole in poles:
+        c = np.empty_like(x)
+        c[0] = _np_initial(x, pole, btype)
+        for i in range(1, n):
+            c[i] = x[i] + pole * c[i - 1]
+        d = np.empty_like(x)
+        d[n - 1] = _np_final(c, pole, btype)
+        for i in range(n - 2, -1, -1):
+            d[i] = pole * (d[i + 1] - c[i])
+        x = d
+    return x
+
+
+_MATRIX_CACHE = {}
+
+
+def _filter_matrix(n: int, order: int, btype: str):
+    key = (n, order, btype)
+    if key not in _MATRIX_CACHE:
+        _MATRIX_CACHE[key] = _filter_matrix_np(n, order, btype)
+    return _MATRIX_CACHE[key]
+
+
 # ------------------------------------------------- blocked recurrence
 
 def _toeplitz(pole: float, k: int, dtype, anticausal: bool) -> jnp.ndarray:
@@ -316,11 +409,33 @@ def _chain_axis(x: jnp.ndarray, pole: float, first: jnp.ndarray,
 
 
 def _filter_axis(x: jnp.ndarray, poles: Sequence[float], btype: str,
-                 axis: int) -> jnp.ndarray:
+                 axis: int, order: int = None,
+                 transpose: bool = False) -> jnp.ndarray:
     """Full prefilter cascade along ``axis``, transpose- and flip-free
-    (reference filter(): coeff.py:257-284 runs a scalar Python loop)."""
-    if x.shape[axis] == 1:
+    (reference filter(): coeff.py:257-284 runs a scalar Python loop).
+
+    Matrix path for n <= _MATRIX_MAX (one MXU matmul per axis; see
+    module docstring), blocked-scan path beyond.  ``transpose`` applies
+    the exact adjoint (matrix path only; the scan path's adjoint is
+    derived by autodiff in ``_coeff_bwd``)."""
+    n = x.shape[axis]
+    if n == 1:
         return x
+    if order is not None and n <= _MATRIX_MAX:
+        A = _filter_matrix(n, order, btype)
+        if transpose:
+            A = A.T
+        if x.dtype == jnp.float64:
+            Aj = jnp.asarray(A, jnp.float64)
+            return _apply_T(Aj, x, axis % x.ndim)
+        # compute in at least f32 (bf16 matmul would break the
+        # resize-identity exactness contract)
+        wdtype = jnp.promote_types(x.dtype, jnp.float32)
+        Aj = jnp.asarray(A, wdtype)
+        out = _apply_T(Aj, x.astype(wdtype), axis % x.ndim)
+        return out.astype(x.dtype)
+    if transpose:
+        raise NotImplementedError  # handled by autodiff in _coeff_bwd
     x = x * jnp.asarray(get_gain(poles), x.dtype)
     for pole in poles:
         # causal pass
@@ -350,7 +465,7 @@ def _coeff_impl(inp, order, bound, axis):
         return inp
     btype = _coeff_bound(bound)
     poles = get_poles(order)
-    return _filter_axis(inp, poles, btype, axis % inp.ndim)
+    return _filter_axis(inp, poles, btype, axis % inp.ndim, order=order)
 
 
 def _coeff_fwd(inp, order, bound, axis):
@@ -366,14 +481,21 @@ def _coeff_bwd(order, bound, axis, _, ct):
     # linear forward — exact where the reference approximates.
     if order in (0, 1):
         return (ct,)
-    if _coeff_bound(bound) in ("dct2", "dft"):
+    btype = _coeff_bound(bound)
+    n = ct.shape[axis % ct.ndim]
+    if n > 1 and n <= _MATRIX_MAX:
+        # matrix path: the exact adjoint is the transposed matrix
+        return (_filter_axis(ct, get_poles(order), btype,
+                             axis % ct.ndim, order=order,
+                             transpose=True),)
+    if btype in ("dct2", "dft"):
         return (_coeff_impl(ct, order, bound, axis),)
-    # ``jax.linear_transpose`` would be the direct spelling, but this
-    # jax version cannot transpose the blocked ``lax.scan`` standalone
-    # (ad.ValAccum leaks into the scan transpose rule), so derive the
-    # pullback with ``jax.vjp`` at a zero primal instead.  The unused
-    # primal cascade is dead code XLA eliminates when this backward is
-    # traced under jit (the custom_vjp always is).
+    # Scan path, dct1: ``jax.linear_transpose`` would be the direct
+    # spelling, but this jax version cannot transpose the blocked
+    # ``lax.scan`` standalone (ad.ValAccum leaks into the scan transpose
+    # rule), so derive the pullback with ``jax.vjp`` at a zero primal
+    # instead.  The unused primal cascade is dead code XLA eliminates
+    # when this backward is traced under jit (the custom_vjp always is).
     f = lambda x: _coeff_impl(x, order, bound, axis)
     _, pullback = jax.vjp(f, jnp.zeros_like(ct))
     (dx,) = pullback(ct)

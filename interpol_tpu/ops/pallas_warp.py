@@ -1,47 +1,61 @@
-"""Pallas TPU kernel: windowed warp pull (dense grids, bounded
-displacement) with the whole tap window resident in VMEM.
+"""Pallas TPU kernels: windowed warp sampling (dense grids, bounded
+displacement) — the framework's native tier.
 
-This is the native tier of the framework — the role the external
-C++/CUDA ``jitfields`` package plays for the reference (SURVEY §2: the
-rebuild's fast backend is first-class, in-tree).  The XLA formulation of
-the same windowed algorithm (ops/window.py) re-reads the volume from HBM
-for each of the (2*max_disp + order + 2)^D shifted views because fusions
-cannot cache across slices; this kernel loads each input box into VMEM
-once, builds the per-axis tap-coefficient stacks in VMEM, and runs the
-whole S^3 shift accumulation out of on-chip memory:
+This is the role the external C++/CUDA ``jitfields`` package plays for
+the reference (SURVEY §2: the rebuild's fast backend is first-class,
+in-tree).  Semantics match the generic kernels (reference
+interpol/nd.py:80-143 for pull, :146-213 for push) under the
+displacement contract of ops/window.py.
 
-    per output tile (TX, TY, TZ):
-      1. async-DMA the (TX+S-1, TY+S-1, TZ+S-1) box of the pre-padded
-         volume HBM -> VMEM (pad carries the boundary folding + signs,
-         so no clamps or folds in-kernel; see ops/window._pad_folded)
-      2. per axis: node origin, Cox-de Boor taps, and the S coefficient
-         planes  coef_d[s] = w_{s - delta0_d}  (VPU, branch-free)
-      3. acc += coefx[sx] * coefy[sy] * coefz[sz] * box[shifted slice]
-         over the S^3 window — all VMEM reads
-      4. write the tile
+Round-2 kernel structure (measured on v5e, scripts/tpu_kernel_lab*.py):
 
-Mosaic-shaped details (each learned from a failed compile):
-  - grid coordinates are passed as three separate (X, Y, Z) arrays — a
+  pull / grad (fused, ``_warp_kernel``):
+    per output tile (TX, TY=8, TZ=128) and channel:
+      1. one aligned box DMA of the pre-padded volume HBM -> VMEM (the
+         pad carries boundary folding + signs; ops/window._pad_folded)
+      2. per axis: Cox-de Boor tap planes for weights AND first
+         derivatives in one recursion pass (shared one-hot selects)
+      3. fully static-unrolled shift accumulation with *value*
+         (register-resident) accumulators:
+           for ky: sublane-roll the box once; take the Sz lane-shifted
+           slabs once (shared across kx); accumulate per-kx z-sums;
+           combine with x/y coefficient (and derivative) planes into
+           up to four outputs (value, d/dx, d/dy, d/dz) in the same
+           pass — derivatives share the box DMA, the tap recursion,
+           the rolls, the slab slices, and (for d/dx, d/dy) even the
+           z-sums with the value output.
+    Per-voxel FMA count: S^3 (+ S^3 for d/dz's derivative z-sum), the
+    information-theoretic floor of the shift-window formulation; the
+    earlier kernel (round 1) spent ~3x this on VMEM round-trips through
+    scratch-staged slabs and a fori_loop accumulator.
+
+  push (``_push_kernel``): exact transpose of the pull data movement —
+    per (ky, kz): accumulate the x-placed row sums (leading-dim
+    placement is free), one lane-roll per (ky, kz) to z-place, one
+    sublane-roll per ky to y-place — so the shuffle count matches the
+    pull kernel instead of growing with the window volume.  Tiles splat
+    into private halo-extended boxes (race-free by construction);
+    overlap-add + boundary fold-back run in XLA with static indices.
+
+Batching: a leading (C,) grid dimension replaces round 1's per-channel
+Python loop (one kernel launch per op instead of C); callers vmap over
+the batch axis, which Pallas lifts to one more grid dimension.
+
+Mosaic constraints honored (each learned from a failed compile):
+  - grid coordinates passed as three separate (X, Y, Z) arrays — a
     trailing length-3 axis would be lane-padded 42x in VMEM;
-  - the x/y shift loops are rolled ``fori_loop``s with the coefficient
-    planes staged through VMEM scratch (values cannot be dynamically
-    indexed), only the z-shift sum is unrolled — fully unrolling S^3
-    terms exploded both compile time and register pressure (~190 MB of
-    spill slots);
-  - VMEM slice extents are rounded up to the (8, 128) tiling.
-
-Traffic: ~1.2x volume read + volume write (vs ~S^3 x for the XLA path).
-Compute: S^3 fused multiply-adds per voxel on the VPU.
-
-Scope (v1): 3D, C folded into the batch/vmap outside, grids dense
-(arbitrary volume shapes — the wrappers pad to tile alignment and slice
-the result).  Falls back to ops/window.py elsewhere.
+  - no misaligned sublane slicing of any memref: y-shifts are value
+    rolls, z-shifts are value lane-slices, x-shifts index the leading
+    (untiled) dimension;
+  - VMEM slice extents rounded up to the (8, 128) tiling;
+  - no bf16 compute: measured VPU bf16 FMA rate equals f32 (no packed
+    win) and bf16 sublane rolls fail to lower.
 """
 from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -53,14 +67,14 @@ from .splines import bspline_taps
 from .window import _pad_folded, _window_geom, window_range
 from .ndkernels import inbounds_mask
 
-__all__ = ["pull_window_pallas", "push_window_pallas", "default_tile"]
+__all__ = ["warp_pallas", "push_window_pallas", "default_tile",
+           "pull_window_pallas"]
 
 
 def default_tile(ishape: Tuple[int, ...] = None):
-    """Best-measured tile on v5e (tile sweep, scripts/tpu_tile_sweep.py).
+    """Best-measured tile on v5e (scripts/tpu_tile_sweep.py, lab runs).
     Any 3-D volume is eligible: the wrappers pad internally to tile
-    alignment (zeros beyond the folded window pad) and slice the result.
-    Returns None only for non-3-D shapes."""
+    alignment and slice the result.  Returns None for non-3-D shapes."""
     if ishape is not None and len(ishape) != 3:
         return None
     return (8, 8, 128)
@@ -80,238 +94,278 @@ def _pad_grid_edge(grid, ishape_a):
 
 
 def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
-                 deriv=False):
-    """In-kernel per-axis coefficient planes: list of S arrays, where
-    plane k is the weight this voxel sends to relative shift smin+k.
-    ``deriv`` selects the first-derivative tap factors."""
+                 grad=False):
+    """In-kernel per-axis coefficient planes.
+
+    Returns (weight_planes, grad_planes): lists of S arrays where plane
+    k is the weight (resp. spline derivative) this voxel applies to
+    relative shift smin+k.  ``grad_planes`` is None unless requested;
+    when requested it shares the tap recursion and the one-hot selects
+    with the weight planes.
+    """
     n0f = jnp.floor(g - (order - 1) / 2) if order > 0 else jnp.round(g)
     t = g - n0f
-    w, gr, _ = bspline_taps(t, order, grad=deriv)
-    if deriv:
-        w = gr
+    w, gr, _ = bspline_taps(t, order, grad=grad)
     # delta0 = n0 - p, p = global voxel index along `axis` for this tile
     p = origin + jax.lax.broadcasted_iota(jnp.int32, tile_shape, axis)
     d0 = n0f.astype(jnp.int32) - p
     d0min, d0max = smin, smax - order
-    planes = []
+    planes_w, planes_g = [], ([] if grad else None)
+    zero = jnp.zeros_like(g)
     for s in range(smin, smax + 1):
-        acc = None
+        acc_w = acc_g = None
         for j in range(order + 1):
             if d0min <= s - j <= d0max:
-                term = jnp.where(d0 == s - j, w[j], 0)
-                acc = term if acc is None else acc + term
-        planes.append(acc if acc is not None else jnp.zeros_like(g))
-    return planes
+                m = d0 == s - j
+                tw = jnp.where(m, w[j], 0)
+                acc_w = tw if acc_w is None else acc_w + tw
+                if grad:
+                    tg = jnp.where(m, gr[j], 0)
+                    acc_g = tg if acc_g is None else acc_g + tg
+        planes_w.append(acc_w if acc_w is not None else zero)
+        if grad:
+            planes_g.append(acc_g if acc_g is not None else zero)
+    return planes_w, planes_g
 
 
-def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, out_ref,
-                 box, ybox, cx_ref, cy_ref, acc_ref, ysem, *,
-                 orders, ranges, tile, box_shape, deriv_axis=None):
+def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
+                 orders, ranges, tile, box_shape, value, grad):
+    """Fused windowed pull: up to 4 outputs (value, d/dx, d/dy, d/dz)
+    from one pass over the shift window."""
+    box, sem = out_refs[-2], out_refs[-1]
+    out_refs = out_refs[:-2]
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
     Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
-    ix, iy, iz = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    BXa, BYa, BZa = box_shape
+    c = pl.program_id(0)
+    ix, iy, iz = pl.program_id(1), pl.program_id(2), pl.program_id(3)
     x0, y0, z0 = ix * TX, iy * TY, iz * TZ
 
-    # 1. one aligned box DMA (pad absorbs the window: box origin in
-    # padded coords is the tile origin; extents rounded to (8, 128))
     cp = pltpu.make_async_copy(
-        vpad_hbm.at[pl.ds(x0, box_shape[0]), pl.ds(y0, box_shape[1]),
-                    pl.ds(z0, box_shape[2])],
-        box, ysem)
+        vpad_hbm.at[c, pl.ds(x0, BXa), pl.ds(y0, BYa), pl.ds(z0, BZa)],
+        box, sem)
     cp.start()
 
-    # 2. coefficient planes (overlaps the DMA); x/y stacks go to VMEM
-    # scratch for dynamic indexing by the rolled shift loops
+    # coefficient (and derivative) planes overlap the DMA
     shape = (TX, TY, TZ)
-    for k, c in enumerate(_coef_planes(gx_ref[...], orders[0], sx0, sx1,
-                                       x0, 0, shape,
-                                       deriv=(deriv_axis == 0))):
-        cx_ref[k] = c
-    for k, c in enumerate(_coef_planes(gy_ref[...], orders[1], sy0, sy1,
-                                       y0, 1, shape,
-                                       deriv=(deriv_axis == 1))):
-        cy_ref[k] = c
-    czs = _coef_planes(gz_ref[...], orders[2], sz0, sz1, z0, 2, shape,
-                       deriv=(deriv_axis == 2))
+    cxs, gxs = _coef_planes(gx_ref[0], orders[0], sx0, sx1, x0, 0, shape,
+                            grad=grad)
+    cys, gys = _coef_planes(gy_ref[0], orders[1], sy0, sy1, y0, 1, shape,
+                            grad=grad)
+    czs, gzs = _coef_planes(gz_ref[0], orders[2], sz0, sz1, z0, 2, shape,
+                            grad=grad)
 
     cp.wait()
-
-    # 3. build the per-ky sublane-aligned slabs: neither VMEM nor HBM
-    # memrefs may be sliced at a misaligned sublane offset, but a value-
-    # level circular roll is a native Mosaic op — ybox[ky] holds the box
-    # rolled so that row ky sits at 0, making every later read aligned.
     bval = box[...]
-    BY = bval.shape[1]
+
+    dt = out_refs[0].dtype
+    acc_v = jnp.zeros(shape, dt) if value else None
+    acc_dx = jnp.zeros(shape, dt) if grad else None
+    acc_dy = jnp.zeros(shape, dt) if grad else None
+    acc_dz = jnp.zeros(shape, dt) if grad else None
+
     for ky in range(Sy):
-        # circular roll by BY - ky == roll by -ky (shift must be >= 0)
-        ybox[ky] = bval if ky == 0 else pltpu.roll(bval, BY - ky, 1)
+        ys = bval if ky == 0 else pltpu.roll(bval, BYa - ky, 1)
+        ys = ys[:, 0:TY, :]
+        zvals = [ys[:, :, kz:kz + TZ] for kz in range(Sz)]
+        zc = [None] * Sx            # weight z-sums (value, d/dx, d/dy)
+        zg = [None] * Sx            # derivative z-sums (d/dz)
+        for kz in range(Sz):
+            for kx in range(Sx):
+                seg = zvals[kz][kx:kx + TX]
+                t = czs[kz] * seg
+                zc[kx] = t if zc[kx] is None else zc[kx] + t
+                if grad:
+                    t = gzs[kz] * seg
+                    zg[kx] = t if zg[kx] is None else zg[kx] + t
+        for kx in range(Sx):
+            cc = cxs[kx] * cys[ky]
+            if value:
+                acc_v = acc_v + cc * zc[kx]
+            if grad:
+                acc_dz = acc_dz + cc * zg[kx]
+                acc_dx = acc_dx + (gxs[kx] * cys[ky]) * zc[kx]
+                acc_dy = acc_dy + (cxs[kx] * gys[ky]) * zc[kx]
 
-    acc_ref[...] = jnp.zeros(shape, dtype=out_ref.dtype)
-
-    def ybody(ky, kx):
-        # one ref read; dynamic indices only on untiled leading dims
-        box_xy = ybox[ky, pl.ds(kx, TX), 0:TY, :]
-        zsum = None
-        for kz in range(Sz):        # static lane shifts (value-level)
-            term = czs[kz] * box_xy[:, :, kz:kz + TZ]
-            zsum = term if zsum is None else zsum + term
-        acc_ref[...] += (cx_ref[kx] * cy_ref[ky]) * zsum
-        return kx
-
-    def xbody(kx, _):
-        jax.lax.fori_loop(0, Sy, ybody, kx)
-        return 0
-
-    jax.lax.fori_loop(0, Sx, xbody, 0)
-    out_ref[...] = acc_ref[...]
+    outs = []
+    if value:
+        outs.append(acc_v)
+    if grad:
+        outs.extend([acc_dx, acc_dy, acc_dz])
+    for ref, acc in zip(out_refs, outs):
+        ref[0] = acc
 
 
-def pull_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
-                       orders: Tuple[int, ...], bounds: Tuple[int, ...],
-                       extrapolate: int, max_disp: float,
-                       tile: Tuple[int, int, int] = None,
-                       interpret: bool = False,
-                       deriv_axis: int = None) -> jnp.ndarray:
-    """Dense-grid 3D pull on the Pallas native tier.
+def _geometry(ishape, orders, max_disp, tile):
+    """Shared box/pad geometry for the warp kernels."""
+    D = 3
+    ranges = tuple(window_range(orders[d], max_disp) for d in range(D))
+    lo, hi = _window_geom(orders, max_disp, D)
+    S = tuple(r[1] - r[0] + 1 for r in ranges)
+    need = [t + s - 1 for t, s in zip(tile, S)]
+    align = (1, 8, 128)
+    box_shape = tuple(-(-n // a) * a for n, a in zip(need, align))
+    # extend the right-hand pad so edge-tile DMAs stay in range
+    hi = [h + (b - n) for h, b, n in zip(hi, box_shape, need)]
+    return ranges, lo, hi, S, box_shape
 
-    inp: (*ishape,); grid: (*ishape, 3).  Single channel — callers vmap
-    over channels/batch.  Same semantics and contract as
-    ops/window.pull_window.
+
+def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
+                orders: Tuple[int, ...], bounds: Tuple[int, ...],
+                extrapolate: int, max_disp: float, *,
+                value: bool = True, grad: bool = False,
+                tile: Tuple[int, int, int] = None,
+                interpret: bool = False):
+    """Fused dense-grid 3D pull / spatial gradient on the native tier.
+
+    inp: (C, *ishape); grid: (*ishape, 3).  Returns ``(val, g)`` where
+    ``val`` is (C, *ishape) or None and ``g`` is (C, *ishape, 3) or
+    None, per the ``value`` / ``grad`` flags.  Channels ride a kernel
+    grid dimension (single launch); batching above this is vmap.
+    Same semantics/contract as ops/window.pull_window / grad_window.
     """
-    ishape = tuple(inp.shape)
+    C = inp.shape[0]
+    ishape = tuple(inp.shape[1:])
     tile = tile or default_tile(ishape)
     D = 3
     if tile is None:
-        raise ValueError("pull_window_pallas is 3-D only")
+        raise ValueError("warp_pallas is 3-D only")
     if grid.shape != ishape + (D,):
-        raise ValueError("pull_window_pallas needs a dense (X,Y,Z,3) grid")
+        raise ValueError("warp_pallas needs a dense (X,Y,Z,3) grid")
+    if not (value or grad):
+        raise ValueError("nothing to compute")
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     # compute in at least f32: bf16 accumulation over S^3 taps is lossy
     # and bf16 VMEM tiling differs (16-sublane)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
-    ranges = tuple(window_range(orders[d], max_disp) for d in range(D))
-    lo, hi = _window_geom(orders, max_disp, D)
-    S = tuple(r[1] - r[0] + 1 for r in ranges)
-
-    # Mosaic tiling: VMEM slice extents must align to (sublane=8,
-    # lane=128) on the last two dims; round the box up and extend the
-    # right-hand pad so edge-tile DMAs stay in range.
-    need = [t + s - 1 for t, s in zip(tile, S)]
-    align = (1, 8, 128)
-    box_shape = tuple(-(-n // a) * a for n, a in zip(need, align))
-    hi = [h + (b - n) for h, b, n in zip(hi, box_shape, need)]
+    ranges, lo, hi, S, box_shape = _geometry(ishape, orders, max_disp,
+                                             tile)
 
     # boundary-folded window pad for the real volume, then zero-extend to
-    # tile alignment (the margin tiles compute garbage that is sliced off)
+    # tile alignment (margin tiles compute garbage that is sliced off)
     ishape_a = _aligned(ishape, tile)
-    vpad = _pad_folded(inp.astype(wdtype)[None], ishape, bounds,
-                       lo, hi, wdtype)[0]
+    vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)
     extra = [a - n for a, n in zip(ishape_a, ishape)]
     if any(extra):
-        vpad = jnp.pad(vpad, [(0, e) for e in extra])
+        vpad = jnp.pad(vpad, [(0, 0)] + [(0, e) for e in extra])
         grid = _pad_grid_edge(grid, ishape_a)
     ntiles = tuple(a // t for a, t in zip(ishape_a, tile))
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
-                     deriv_axis=deriv_axis)
-    gspec = pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
+                     value=value, grad=grad)
+    gspec = pl.BlockSpec((1,) + tuple(tile),
+                         lambda c, i, j, k: (0, i, j, k),
                          memory_space=pltpu.VMEM)
-    g = grid.astype(wdtype)
-    out = pl.pallas_call(
+    ospec = pl.BlockSpec((1,) + tuple(tile),
+                         lambda c, i, j, k: (c, i, j, k),
+                         memory_space=pltpu.VMEM)
+    n_out = (1 if value else 0) + (3 if grad else 0)
+    g = grid.astype(wdtype)[None]
+    outs = pl.pallas_call(
         kernel,
-        grid=ntiles,
+        grid=(C,) + ntiles,
         in_specs=[gspec, gspec, gspec,
-                  # the padded volume must stay in HBM: VMEM slices have
-                  # sublane alignment constraints the per-ky slab DMAs
-                  # cannot satisfy (HBM is byte-addressed)
+                  # the padded volume stays in HBM: the kernel DMAs one
+                  # aligned box per tile
                   pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(ishape_a, wdtype),
+        out_specs=[ospec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((C,) + ishape_a, wdtype)] * n_out,
         scratch_shapes=[
             pltpu.VMEM(box_shape, wdtype),
-            pltpu.VMEM((S[1],) + box_shape, wdtype),
-            pltpu.VMEM((S[0],) + tuple(tile), wdtype),
-            pltpu.VMEM((S[1],) + tuple(tile), wdtype),
-            pltpu.VMEM(tuple(tile), wdtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 4),
         interpret=interpret,
     )(g[..., 0], g[..., 1], g[..., 2], vpad)
-    out = out[:ishape[0], :ishape[1], :ishape[2]]
 
-    gridr = grid[:ishape[0], :ishape[1], :ishape[2]]
-    mask = inbounds_mask(gridr.reshape(-1, D), ishape, extrapolate, wdtype)
+    crop = (slice(None),) + tuple(slice(0, n) for n in ishape)
+    outs = [o[crop] for o in outs]
+    gridr = grid[tuple(slice(0, n) for n in ishape)]
+    mask = inbounds_mask(gridr.reshape(-1, D), ishape, extrapolate,
+                         wdtype)
     if mask is not None:
-        out = out * mask.reshape(ishape)
-    return out.astype(out_dtype)
+        mask = mask.reshape((1,) + ishape)
+        outs = [o * mask for o in outs]
+    outs = [o.astype(out_dtype) for o in outs]
+    val = outs[0] if value else None
+    gout = jnp.stack(outs[-3:], axis=-1) if grad else None
+    return val, gout
+
+
+def pull_window_pallas(inp, grid, orders, bounds, extrapolate, max_disp,
+                       tile=None, interpret=False, deriv_axis=None):
+    """Back-compat single-channel entry (kernel-lab baseline v0).
+
+    inp: (*ishape,); prefer :func:`warp_pallas`."""
+    val, g = warp_pallas(
+        inp[None], grid, orders, bounds, extrapolate, max_disp,
+        value=deriv_axis is None, grad=deriv_axis is not None,
+        tile=tile, interpret=interpret)
+    if deriv_axis is None:
+        return val[0]
+    return g[0, ..., deriv_axis]
 
 
 # ---------------------------------------------------------------- push
 
-def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out,
-                 cx_ref, cy_ref, zslab_ref, sem, *,
+def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
                  orders, ranges, tile, box_shape):
-    """Adjoint of _warp_kernel: splat one tile's values into its private
-    halo-extended box (written to HBM; overlapping boxes are added back
-    in XLA).  Transposed data movement: value-level rolls place each
-    shift's contribution, so no misaligned memref access is needed."""
+    """Exact adjoint of the pull kernel's data movement: splat one
+    tile's values into its private halo-extended box.
+
+    Transposed v3 structure — per (ky, kz): accumulate the x-placed
+    rows (leading-dim list, free placement), then one lane-roll to
+    z-place; per ky: one sublane-roll to y-place.  Shuffle count
+    matches the pull kernel (Sy*Sz lane-rolls + Sy sublane-rolls of
+    box-sized arrays) instead of round 1's per-(ky,kz) scratch
+    read-modify-write over a (Sy, Sz, BXa, TY, TZ) slab buffer — which
+    is what capped the compilable window span at 12.
+    """
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
     Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
     BXa, BYa, BZa = box_shape
-    ix, iy, iz = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    x0, y0, z0 = ix * TX, iy * TY, iz * TZ
+    x0 = pl.program_id(1) * TX
+    y0 = pl.program_id(2) * TY
+    z0 = pl.program_id(3) * TZ
 
     shape = (TX, TY, TZ)
-    for k, c in enumerate(_coef_planes(gx_ref[...], orders[0], sx0, sx1,
-                                       x0, 0, shape)):
-        cx_ref[k] = c
-    for k, c in enumerate(_coef_planes(gy_ref[...], orders[1], sy0, sy1,
-                                       y0, 1, shape)):
-        cy_ref[k] = c
-    czs = _coef_planes(gz_ref[...], orders[2], sz0, sz1, z0, 2, shape)
+    cxs, _ = _coef_planes(gx_ref[0], orders[0], sx0, sx1, x0, 0, shape)
+    cys, _ = _coef_planes(gy_ref[0], orders[1], sy0, sy1, y0, 1, shape)
+    czs, _ = _coef_planes(gz_ref[0], orders[2], sz0, sz1, z0, 2, shape)
 
-    val = val_ref[...]
-    # per-kz weighted values (unplaced), shared across (kx, ky)
-    vzs = jnp.stack([czs[kz] * val for kz in range(Sz)])  # (Sz, T*)
+    val = val_ref[0]
+    # z-weighted values, shared across (kx, ky)
+    vzs = [czs[kz] * val for kz in range(Sz)]
+
     zpad = BZa - TZ
-
-    # z-deferred slab accumulation: zslab[ky, kz] accumulates the x-placed
-    # contributions in *unplaced* z, so the expensive lane rolls happen
-    # once per (ky, kz) at the end instead of once per (kx, ky, kz) term.
-    for ky in range(Sy):
-        zslab_ref[ky] = jnp.zeros((Sz, BXa, TY, TZ), dtype=val.dtype)
-
-    def ybody(ky, kx):
-        wxy = cx_ref[kx] * cy_ref[ky]
-        cur = zslab_ref[ky, :, pl.ds(kx, TX), :, :]
-        zslab_ref[ky, :, pl.ds(kx, TX), :, :] = cur + wxy[None] * vzs
-        return kx
-
-    def xbody(kx, _):
-        jax.lax.fori_loop(0, Sy, ybody, kx)
-        return 0
-
-    jax.lax.fori_loop(0, Sx, xbody, 0)
-
-    # fold the slabs into the box: z-place each (ky, kz) plane with one
-    # lane roll, then y-place each ky slab with one sublane roll
     ypad = BYa - TY
-    acc = None
+    acc = None                              # (BXa, BYa, BZa) value
     for ky in range(Sy):
-        zsum = None
+        cxys = [cxs[kx] * cys[ky] for kx in range(Sx)]
+        wk = None                           # (BXa, TY, BZa) value
         for kz in range(Sz):
-            t = jnp.pad(zslab_ref[ky, kz], ((0, 0), (0, 0), (0, zpad)))
-            t = t if kz == 0 else pltpu.roll(t, kz, 2)
-            zsum = t if zsum is None else zsum + t
-        t = jnp.pad(zsum, ((0, 0), (0, ypad), (0, 0)))
-        t = t if ky == 0 else pltpu.roll(t, ky, 1)
-        acc = t if acc is None else acc + t
-    box_out[0, 0, 0] = acc
+            # x-placed rows: rows[u] = sum_{kx: u-kx in tile} cxy*vz
+            rows = [None] * BXa
+            for kx in range(Sx):
+                wxy = cxys[kx] * vzs[kz]              # (TX, TY, TZ)
+                for x in range(TX):
+                    u = x + kx
+                    r = wxy[x]
+                    rows[u] = r if rows[u] is None else rows[u] + r
+            zero = jnp.zeros((TY, TZ), val.dtype)
+            R = jnp.stack([r if r is not None else zero for r in rows])
+            R = jnp.pad(R, ((0, 0), (0, 0), (0, zpad)))
+            R = R if kz == 0 else pltpu.roll(R, kz, 2)   # z-place
+            wk = R if wk is None else wk + R
+        wk = jnp.pad(wk, ((0, 0), (0, ypad), (0, 0)))
+        wk = wk if ky == 0 else pltpu.roll(wk, ky, 1)    # y-place
+        acc = wk if acc is None else acc + wk
+    box_out[0, 0, 0, 0] = acc
 
 
 def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
@@ -319,16 +373,16 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                        extrapolate: int, max_disp: float,
                        tile: Tuple[int, int, int] = None,
                        interpret: bool = False) -> jnp.ndarray:
-    """Dense-grid 3D push (exact adjoint of pull_window_pallas).
+    """Dense-grid 3D push (exact adjoint of the pull kernel).
 
-    inp: (*ishape,) values at grid sites; grid: (*ishape, 3).  Returns
-    the splatted (*ishape,) volume.  Kernel splats per-tile private boxes
-    (race-free by construction); the overlap-add and the boundary-fold of
-    the pad margins run in XLA with static indices.
+    inp: (C, *ishape) values at grid sites; grid: (*ishape, 3).
+    Returns the splatted (C, *ishape) volume.  The kernel splats
+    per-tile private boxes (race-free by construction); the
+    overlap-add and boundary fold-back run in XLA with static indices
+    (adjoint contract: reference interpol/pushpull.py:262-282).
     """
-    from .window import _window_geom  # local import to avoid cycle
-
-    ishape = tuple(inp.shape)
+    C = inp.shape[0]
+    ishape = tuple(inp.shape[1:])
     tile = tile or default_tile(ishape)
     D = 3
     if tile is None:
@@ -338,86 +392,80 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
-    ranges = tuple(window_range(orders[d], max_disp) for d in range(D))
-    lo, hi = _window_geom(orders, max_disp, D)
-    S = tuple(r[1] - r[0] + 1 for r in ranges)
-    need = [t + s - 1 for t, s in zip(tile, S)]
-    align = (1, 8, 128)
-    box_shape = tuple(-(-n // a) * a for n, a in zip(need, align))
-    hi = [h + (b - n) for h, b, n in zip(hi, box_shape, need)]
+    ranges, lo, hi, S, box_shape = _geometry(ishape, orders, max_disp,
+                                             tile)
 
     # extrapolation mask applies to the *values* before splatting
     vals = inp.astype(wdtype)
     mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
     if mask is not None:
-        vals = vals * mask.reshape(ishape)
+        vals = vals * mask.reshape((1,) + ishape)
 
     # tile-alignment padding: zero values in the margin contribute
     # nothing; edge-replicated grid coords keep the kernel well-defined
     ishape_a = _aligned(ishape, tile)
     extra = [a - n for a, n in zip(ishape_a, ishape)]
     if any(extra):
-        vals = jnp.pad(vals, [(0, e) for e in extra])
+        vals = jnp.pad(vals, [(0, 0)] + [(0, e) for e in extra])
         grid = _pad_grid_edge(grid, ishape_a)
     ntiles = tuple(a // t for a, t in zip(ishape_a, tile))
     pshape = tuple(a + l + h for a, l, h in zip(ishape_a, lo, hi))
 
     kernel = partial(_push_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape)
-    gspec = pl.BlockSpec(tile, lambda i, j, k: (i, j, k),
+    gspec = pl.BlockSpec((1,) + tuple(tile),
+                         lambda c, i, j, k: (0, i, j, k),
                          memory_space=pltpu.VMEM)
-    g = grid.astype(wdtype)
+    vspec = pl.BlockSpec((1,) + tuple(tile),
+                         lambda c, i, j, k: (c, i, j, k),
+                         memory_space=pltpu.VMEM)
+    g = grid.astype(wdtype)[None]
     boxes = pl.pallas_call(
         kernel,
-        grid=ntiles,
-        in_specs=[gspec, gspec, gspec, gspec],
-        out_specs=pl.BlockSpec((1, 1, 1) + box_shape,
-                               lambda i, j, k: (i, j, k, 0, 0, 0),
+        grid=(C,) + ntiles,
+        in_specs=[gspec, gspec, gspec, vspec],
+        out_specs=pl.BlockSpec((1, 1, 1, 1) + box_shape,
+                               lambda c, i, j, k: (c, i, j, k, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(ntiles + box_shape, wdtype),
-        scratch_shapes=[
-            pltpu.VMEM((S[0],) + tuple(tile), wdtype),
-            pltpu.VMEM((S[1],) + tuple(tile), wdtype),
-            pltpu.VMEM((S[1], S[2], box_shape[0], tile[1], tile[2]),
-                       wdtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((C,) + ntiles + box_shape, wdtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 4),
         interpret=interpret,
     )(g[..., 0], g[..., 1], g[..., 2], vals)
 
     # XLA epilogue 1: overlap-add the private boxes into the padded
-    # volume — scatter-free: boxes are regularly strided (origin =
-    # tile origin in padded coords), so padding each box to a whole
-    # number of tile-sized chunks turns the overlap-add into a few
-    # static dense block adds (a scatter formulation of this step was
-    # measured to dominate the whole op).
+    # volume — scatter-free: boxes are regularly strided (origin = tile
+    # origin in padded coords), so padding each box to a whole number
+    # of tile-sized chunks turns the overlap-add into a few static
+    # dense block adds (a scatter formulation of this step was measured
+    # to dominate the whole op).
     nch = tuple(-(-b // t) for b, t in zip(box_shape, tile))
     BP = tuple(c * t for c, t in zip(nch, tile))
-    boxes = jnp.pad(boxes, [(0, 0)] * 3
+    boxes = jnp.pad(boxes, [(0, 0)] * 4
                     + [(0, p - b) for p, b in zip(BP, box_shape)])
     accw = tuple(max(p, n - t + bp) for p, n, t, bp
                  in zip(pshape, ishape_a, tile, BP))
-    acc = jnp.zeros(accw, wdtype)
+    acc = jnp.zeros((C,) + accw, wdtype)
     for cx in range(nch[0]):
         for cy in range(nch[1]):
             for cz in range(nch[2]):
-                blk = boxes[:, :, :,
+                blk = boxes[:, :, :, :,
                             cx * tile[0]:(cx + 1) * tile[0],
                             cy * tile[1]:(cy + 1) * tile[1],
                             cz * tile[2]:(cz + 1) * tile[2]]
-                blk = blk.transpose(0, 3, 1, 4, 2, 5).reshape(ishape_a)
-                acc = acc.at[cx * tile[0]:cx * tile[0] + ishape_a[0],
+                blk = blk.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+                    (C,) + ishape_a)
+                acc = acc.at[:,
+                             cx * tile[0]:cx * tile[0] + ishape_a[0],
                              cy * tile[1]:cy * tile[1] + ishape_a[1],
                              cz * tile[2]:cz * tile[2] + ishape_a[2]
                              ].add(blk)
-    acc = acc[:pshape[0], :pshape[1], :pshape[2]]
+    acc = acc[:, :pshape[0], :pshape[1], :pshape[2]]
 
     # XLA epilogue 2: fold the pad margins back through the boundary
-    # (adjoint of the pull path's _pad_folded), reusing the window
-    # implementation's margin logic (the alignment margin folds too —
-    # it only ever holds zeros)
+    # (adjoint of the pull path's _pad_folded; the alignment margin
+    # folds too — it only ever holds zeros)
     from .window import _fold_pad_margins
     hi_tot = [h + e for h, e in zip(hi, extra)]
-    out = _fold_pad_margins(acc[None], ishape, bounds, lo, hi_tot,
-                            wdtype)[0]
+    out = _fold_pad_margins(acc, ishape, bounds, lo, hi_tot, wdtype)
     return out.astype(out_dtype)

@@ -195,26 +195,23 @@ def _should_pallas(ishape) -> bool:
 
 
 def _push_kernel_fits(orders, max_disp):
-    """The push kernel's compiled footprint grows with the window span;
-    windows wider than 12 (e.g. order 5 at max_disp=2) failed to compile
-    on v5e — fall back to the XLA formulation there."""
+    """Compiled-footprint guard for the push kernel.  The round-2
+    transposed-placement kernel compiles well past round 1's span-12
+    ceiling (order-7 at max_disp=4 is span 19, on-chip verified); keep
+    a generous guard for pathological windows."""
     S = [r[1] - r[0] + 1
          for r in (window_range(o, max_disp) for o in orders)]
-    return max(S) <= 12
+    return max(S) <= 24
 
 
 def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape):
-        from .pallas_warp import pull_window_pallas
-        # static loop over channels: C is small and pallas_call's vmap
-        # support is not needed
-        outs = [pull_window_pallas(inp[c], grid, tuple(orders),
-                                   tuple(bounds), extrapolate,
-                                   float(max_disp))
-                for c in range(inp.shape[0])]
-        return jnp.stack(outs)
+        from .pallas_warp import warp_pallas
+        val, _ = warp_pallas(inp, grid, tuple(orders), tuple(bounds),
+                             extrapolate, float(max_disp), value=True)
+        return val
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
     vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)
@@ -232,16 +229,14 @@ def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape):
-        # one derivative-coefficient pull per axis; the boundary-folded
-        # pad already carries the signs, so it serves gradients too
-        from .pallas_warp import pull_window_pallas
-        outs = [jnp.stack([pull_window_pallas(inp[c], grid, tuple(orders),
-                                              tuple(bounds), extrapolate,
-                                              float(max_disp),
-                                              deriv_axis=d)
-                           for d in range(D)], axis=-1)
-                for c in range(inp.shape[0])]
-        return jnp.stack(outs)
+        # fused kernel: all three derivative fields from one pass over
+        # the shift window (the boundary-folded pad already carries the
+        # signs, so it serves gradients too)
+        from .pallas_warp import warp_pallas
+        _, g = warp_pallas(inp, grid, tuple(orders), tuple(bounds),
+                           extrapolate, float(max_disp), value=False,
+                           grad=True)
+        return g
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
     vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)
@@ -269,11 +264,8 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape) and _push_kernel_fits(orders, max_disp):
         from .pallas_warp import push_window_pallas
-        outs = [push_window_pallas(inp[c], grid, tuple(orders),
-                                   tuple(bounds), extrapolate,
-                                   float(max_disp))
-                for c in range(inp.shape[0])]
-        return jnp.stack(outs)
+        return push_window_pallas(inp, grid, tuple(orders), tuple(bounds),
+                                  extrapolate, float(max_disp))
     C = inp.shape[0]
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)

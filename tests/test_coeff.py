@@ -14,6 +14,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from interpol_tpu.ops.coeff import spline_coeff
@@ -140,3 +141,34 @@ def test_scipy_golden(order):
     out = np.asarray(spline_coeff(jnp.asarray(x)[None], order, 2,  # dct1
                                   axis=-1))[0]
     np.testing.assert_allclose(out, ref, atol=1e-9)
+
+
+@pytest.mark.parametrize("order", [2, 3, 5, 7])
+@pytest.mark.parametrize("bound", ["dct1", "dct2", "dft"])
+def test_matrix_path_matches_scan_path(order, bound, monkeypatch):
+    """The precomputed inverse-filter matrix (default for n <= _MATRIX_MAX)
+    must agree with the blocked-scan cascade to fp accuracy."""
+    from interpol_tpu.ops import coeff as C
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((5, 37)))
+    b = BOUND_IDS[bound]
+    mat = C.spline_coeff(x, order, b, axis=-1)
+    monkeypatch.setattr(C, "_MATRIX_MAX", 0)   # force the scan path
+    scan = C.spline_coeff(x, order, b, axis=-1)
+    np.testing.assert_allclose(np.asarray(mat), np.asarray(scan),
+                               rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("bound", ["dct1", "dct2", "dft"])
+def test_matrix_path_vjp_is_exact_adjoint(bound):
+    """<f(u), v> == <u, f^T(v)> with the transposed-matrix backward."""
+    from interpol_tpu.ops import coeff as C
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal(23))
+    v = jnp.asarray(rng.standard_normal(23))
+    b = BOUND_IDS[bound]
+    f = lambda t: C.spline_coeff(t, 3, b, axis=-1)
+    fu = f(u)
+    _, pull = jax.vjp(f, u)
+    (ftv,) = pull(v)
+    np.testing.assert_allclose(float(fu @ v), float(u @ ftv), rtol=1e-12)

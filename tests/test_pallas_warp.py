@@ -1,5 +1,6 @@
-"""Pallas warp kernel: interpret-mode equivalence with the windowed XLA
-path (the on-chip compiled path is exercised by bench/scripts)."""
+"""Pallas warp kernels: interpret-mode equivalence with the windowed XLA
+path (the on-chip compiled path is exercised by bench.py's parity gate
+and scripts/)."""
 import numpy as np
 import pytest
 
@@ -9,9 +10,9 @@ import jax.numpy as jnp
 from interpol_tpu.ops import pallas_warp, window
 
 
-def case(seed=0, ish=(16, 16, 128), disp=1.5):
+def case(seed=0, ish=(16, 16, 128), disp=1.5, C=1):
     rng = np.random.default_rng(seed)
-    inp = jnp.asarray(rng.standard_normal(ish))
+    inp = jnp.asarray(rng.standard_normal((C,) + ish))
     ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
                                  indexing="ij"), -1).astype(np.float64)
     grid = jnp.asarray(ident + rng.uniform(-disp, disp, ident.shape))
@@ -27,11 +28,28 @@ def case(seed=0, ish=(16, 16, 128), disp=1.5):
 @pytest.mark.parametrize("ex", [0, 1])
 def test_interpret_matches_window(orders, bounds, ex):
     inp, grid = case()
-    ref = window.pull_window(inp[None], grid, orders, bounds, ex, 1.5)[0]
-    out = pallas_warp.pull_window_pallas(inp, grid, orders, bounds, ex,
-                                         1.5, tile=(8, 8, 64),
-                                         interpret=True)
+    ref = window._pull_impl(inp, grid, orders, bounds, ex, 1.5)
+    out, _ = pallas_warp.warp_pallas(inp, grid, orders, bounds, ex,
+                                     1.5, tile=(8, 8, 64),
+                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("orders,bounds", [
+    ((3, 3, 3), (3, 3, 3)),
+    ((2, 3, 5), (2, 4, 6)),
+])
+def test_fused_grad_matches_window(orders, bounds):
+    inp, grid = case(C=2)
+    ref_v = window._pull_impl(inp, grid, orders, bounds, 1, 1.5)
+    ref_g = window._grad_impl(inp, grid, orders, bounds, 1, 1.5)
+    val, g = pallas_warp.warp_pallas(inp, grid, orders, bounds, 1, 1.5,
+                                     value=True, grad=True,
+                                     tile=(8, 8, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref_v),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
                                atol=1e-12)
 
 
@@ -42,15 +60,38 @@ def test_unaligned_shapes_via_padding(ish):
     # zeros beyond the folded window pad and slice the result
     inp, grid = case(ish=ish)
     o, b = (3,) * 3, (3,) * 3
-    ref = window._pull_impl(inp[None], grid, o, b, 1, 1.5)[0]
-    out = pallas_warp.pull_window_pallas(inp, grid, o, b, 1, 1.5,
-                                         tile=(8, 8, 64), interpret=True)
+    ref = window._pull_impl(inp, grid, o, b, 1, 1.5)
+    out, _ = pallas_warp.warp_pallas(inp, grid, o, b, 1, 1.5,
+                                     tile=(8, 8, 64), interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-12)
-    refp = window._push_impl(inp[None], grid, o, b, 1, 1.5)[0]
+    refp = window._push_impl(inp, grid, o, b, 1, 1.5)
     outp = pallas_warp.push_window_pallas(inp, grid, o, b, 1, 1.5,
                                           tile=(8, 8, 64), interpret=True)
     np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("span_order,md", [(5, 2.0), (5, 4.0)])
+def test_push_wide_window_spans(span_order, md):
+    # round 1's push kernel capped the window span at 12; the transposed
+    # placement kernel must handle order-5 x max_disp-4 (span 14+)
+    inp, grid = case(ish=(16, 16, 64), disp=min(md, 1.5))
+    o, b = (span_order,) * 3, (3,) * 3
+    refp = window._push_impl(inp, grid, o, b, 1, md)
+    outp = pallas_warp.push_window_pallas(inp, grid, o, b, 1, md,
+                                          tile=(8, 8, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                               atol=1e-12)
+
+
+def test_multichannel_single_launch():
+    inp, grid = case(C=3)
+    o, b = (3,) * 3, (3,) * 3
+    ref = window._pull_impl(inp, grid, o, b, 1, 1.5)
+    out, _ = pallas_warp.warp_pallas(inp, grid, o, b, 1, 1.5,
+                                     tile=(8, 8, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-12)
 
 
@@ -59,10 +100,9 @@ def test_bf16_inputs_compute_f32():
     # half-voxel ulps at |g| ~ 100); internal compute is f32
     inp, grid = case()
     out = pallas_warp.pull_window_pallas(
-        inp.astype(jnp.bfloat16), grid.astype(jnp.float32),
+        inp[0].astype(jnp.bfloat16), grid.astype(jnp.float32),
         (3,) * 3, (3,) * 3, 1, 1.5, tile=(8, 8, 64), interpret=True)
     assert out.dtype == jnp.float32   # result_type(bf16, f32)
-    ref = window.pull_window(inp[None], grid, (3,) * 3, (3,) * 3, 1,
-                             1.5)[0]
+    ref = window._pull_impl(inp, grid, (3,) * 3, (3,) * 3, 1, 1.5)[0]
     np.testing.assert_allclose(np.asarray(out, dtype=np.float64),
                                np.asarray(ref), atol=0.05)
