@@ -1,8 +1,10 @@
 """On-chip compiled-path check for the production window ops:
-parity (Pallas vs XLA formulation, compiled) + slope-timed throughput.
+parity (Pallas vs XLA formulation, compiled) + slope-timed throughput
+(fori_loop chains — see scripts_common.slope_time for the measurement
+doctrine on this device tunnel).
 
 Usage: python scripts/tpu_prod_check.py [N] [ops...]
-ops: pull grad push step
+ops: parity pull grad push coeff step pushwide
 """
 import sys
 import time
@@ -14,29 +16,12 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
-from scripts_common import sync, wait_healthy  # noqa: E402
+from scripts_common import sync, wait_healthy, slope_time  # noqa: E402
 
 import interpol_tpu  # noqa: E402
 from interpol_tpu import backend  # noqa: E402
 from interpol_tpu.ops import window as wd  # noqa: E402
-
-
-def slope_time(make_f, args, R1=1, R2=5, iters=4):
-    ts = []
-    for R in (R1, R2):
-        f = jax.jit(make_f(R))
-        def run(n):
-            out = None
-            cur = args
-            for _ in range(n):
-                out = f(*cur)
-                cur = (cur[0] + jnp.ravel(out)[0] * 1e-30,) + cur[1:]
-            sync(jnp.ravel(out)[:1])
-        run(2)
-        t0 = time.time()
-        run(iters)
-        ts.append((time.time() - t0) / iters)
-    return (ts[1] - ts[0]) / (R2 - R1)
+from interpol_tpu.ops.coeff import spline_coeff_nd  # noqa: E402
 
 
 def data(N, max_disp, C=1, seed=0):
@@ -50,7 +35,6 @@ def data(N, max_disp, C=1, seed=0):
 
 
 def parity(N=32, order=3, max_disp=2.0):
-    """Compiled Pallas vs XLA window formulation on the chip."""
     vol, grid = data(N, max_disp, C=2, seed=1)
     o, b = (order,) * 3, (3,) * 3
     outs = {}
@@ -67,92 +51,97 @@ def parity(N=32, order=3, max_disp=2.0):
             for a, c in zip(outs["pallas"], outs["xla"])]
     print(f"parity N={N} o={order}: pull={errs[0]:.2e} "
           f"grad={errs[1]:.2e} push={errs[2]:.2e}", flush=True)
-    return max(errs)
+
+
+def push_wide(N=32):
+    """Wide-span push compile + parity (round 1's kernel capped at 12)."""
+    rng = np.random.default_rng(0)
+    ident = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"),
+                     -1).astype(np.float32)
+    vol = jnp.asarray(rng.standard_normal((1, N, N, N)).astype(np.float32))
+    for order, md in [(3, 4.0), (5, 2.0), (5, 4.0)]:
+        smin, smax = wd.window_range(order, md)
+        grid = jnp.asarray(ident + rng.uniform(-md, md, ident.shape)
+                           .astype(np.float32))
+        o, b = (order,) * 3, (3,) * 3
+        t0 = time.time()
+        with backend.use_backend("pallas"):
+            out = jax.jit(lambda v, g: wd._push_impl(v, g, o, b, 1, md))(
+                vol, grid)
+            out.block_until_ready()
+        with backend.use_backend("xla"):
+            ref = jax.jit(lambda v, g: wd._push_impl(v, g, o, b, 1, md))(
+                vol, grid)
+        err = float(jnp.abs(out - ref).max())
+        print(f"push o={order} md={md} S={smax-smin+1}: compiled "
+              f"({time.time()-t0:.0f}s), err={err:.2e}", flush=True)
 
 
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    ops = sys.argv[2:] or ["parity", "pull", "grad", "push"]
+    ops = sys.argv[2:] or ["parity", "pull", "grad", "push", "coeff"]
     order, max_disp = 3, 2.0
     o, b = (order,) * 3, (3,) * 3
     print("health:", wait_healthy(), flush=True)
 
     if "parity" in ops:
         parity()
+    if "pushwide" in ops:
+        push_wide()
 
     vol, grid = data(N, max_disp)
 
+    def report(name, dt, ts):
+        print(f"{name:5s} N={N}: {N**3/dt/1e9:7.3f} Gvox/s "
+              f"({dt*1e3:.2f} ms/op; raw "
+              f"{['%.1f' % (t*1e3) for t in ts]})", flush=True)
+
     if "pull" in ops:
-        def mk(R):
-            def f(v, g):
-                for _ in range(R):
-                    v = wd.pull_window(v, g, o, b, 1, max_disp)
-                return v
-            return f
-        dt = slope_time(mk, (vol, grid))
-        print(f"pull  N={N}: {N**3/dt/1e9:7.3f} Gvox/s ({dt*1e3:.2f} ms)",
-              flush=True)
+        dt, ts = slope_time(
+            lambda c: (wd.pull_window(c[0], c[1], o, b, 1, max_disp),
+                       c[1]),
+            (vol, grid))
+        report("pull", dt, ts)
 
     if "grad" in ops:
-        def mk(R):
-            def f(v, g):
-                out = v
-                for _ in range(R):
-                    gr = wd.grad_window(out, g, o, b, 1, max_disp)
-                    out = gr[..., 0] + 1e-30 * (gr[..., 1] + gr[..., 2])
-                return out
-            return f
-        dt = slope_time(mk, (vol, grid))
-        print(f"grad  N={N}: {N**3/dt/1e9:7.3f} Gvox/s ({dt*1e3:.2f} ms)",
-              flush=True)
+        def body(c):
+            g = wd.grad_window(c[0], c[1], o, b, 1, max_disp)
+            return (g[..., 0] + 1e-6 * (g[..., 1] + g[..., 2]), c[1])
+        dt, ts = slope_time(body, (vol, grid))
+        report("grad", dt, ts)
 
     if "push" in ops:
-        def mk(R):
-            def f(v, g):
-                for _ in range(R):
-                    v = wd.push_window(v, g, o, b, 1, max_disp)
-                return v
-            return f
-        dt = slope_time(mk, (vol, grid))
-        print(f"push  N={N}: {N**3/dt/1e9:7.3f} Gvox/s ({dt*1e3:.2f} ms)",
-              flush=True)
+        dt, ts = slope_time(
+            lambda c: (wd.push_window(c[0], c[1], o, b, 1, max_disp),
+                       c[1]),
+            (vol, grid))
+        report("push", dt, ts)
+
+    if "coeff" in ops:
+        dt, ts = slope_time(
+            lambda c: (spline_coeff_nd(c[0], o, b, 3),),
+            (vol[None],))
+        report("coeff", dt, ts)
 
     if "step" in ops:
-        # warp-MSE value_and_grad step (the VERDICT item-3 gate)
-        from interpol_tpu.models import WarpModel, train_step
+        # full warp-MSE value_and_grad training step (VERDICT item-3 gate)
+        from interpol_tpu.models import WarpModel
         model = WarpModel(vol_shape=(N, N, N), coarse_shape=(8, 8, 8),
                           interpolation=3, bound="dct2")
         params = model.init_params(1) + 0.01
         moving = vol[None]
         fixed = moving * 0.9
 
-        def mk(R):
-            def f(p, mv, fx):
-                loss = 0.
-                for _ in range(R):
-                    l, g = jax.value_and_grad(
-                        lambda pp: jnp.mean(
-                            (model.warp(pp, mv) - fx) ** 2))(p)
-                    p = p - 0.1 * g
-                    loss = loss + l
-                return p, loss
-            return f
+        def body(c):
+            p = c[0]
+            _, g = jax.value_and_grad(
+                lambda pp: jnp.mean((model.warp(pp, moving) - fixed) ** 2)
+            )(p)
+            return (p - 0.1 * g,)
 
-        ts = []
-        for R in (1, 3):
-            f = jax.jit(mk(R))
-            def run(n):
-                pp = params
-                out = None
-                for _ in range(n):
-                    pp, out = f(pp, moving, fixed)
-                sync(jnp.ravel(out)[:1])
-            run(2)
-            t0 = time.time()
-            run(4)
-            ts.append((time.time() - t0) / 4)
-        dt = (ts[1] - ts[0]) / 2
-        print(f"step  N={N}: {dt*1e3:.2f} ms/step", flush=True)
+        dt, ts = slope_time(body, (params,), perturb=1e-6)
+        print(f"step  N={N}: {dt*1e3:.2f} ms/step (raw "
+              f"{['%.1f' % (t*1e3) for t in ts]})", flush=True)
 
 
 if __name__ == "__main__":

@@ -196,3 +196,48 @@ class TestGraftEntry:
         require_devices(8)
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestWindowPathDispatch:
+    """The dense-warp window fast path and the generic gather path must
+    agree inside shard_map (the auto-dispatch uses the window path for
+    dense grids with max_disp > 0 and extrapolate=1)."""
+
+    @pytest.mark.parametrize("bound", [0, 2, 3, 5, 6])
+    def test_pull_window_vs_gather_path(self, bound):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, ishape = spatial_case(3, bound, seed=2)
+        o, b = (3,) * 2, (bound,) * 2
+        fast = sp.pull_sharded(inp, grid, o, b, 1, mesh=mesh,
+                               max_disp=1.5, use_window=True)
+        slow = sp.pull_sharded(inp, grid, o, b, 1, mesh=mesh,
+                               max_disp=1.5, use_window=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=1e-11)
+
+    @pytest.mark.parametrize("bound", [1, 3, 6])
+    def test_push_window_vs_gather_path(self, bound):
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, ishape = spatial_case(3, bound, seed=3)
+        o, b = (3,) * 2, (bound,) * 2
+        fast = sp.push_sharded(inp, grid, ishape, o, b, 1, mesh=mesh,
+                               max_disp=1.5, use_window=True)
+        slow = sp.push_sharded(inp, grid, ishape, o, b, 1, mesh=mesh,
+                               max_disp=1.5, use_window=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=1e-11)
+
+    def test_extrapolate_falls_back_to_gather(self):
+        # extrapolate != 1 masks against *global* extents, which the
+        # local window kernels cannot see -> auto-dispatch must pick the
+        # gather path and still match single-chip numerics
+        require_devices(4)
+        mesh = make_mesh(4, "x")
+        inp, grid, ishape = spatial_case(3, 3, seed=4)
+        o, b = (3,) * 2, (3,) * 2
+        ref = pp.pull(inp, grid, o, b, 0)
+        out = sp.pull_sharded(inp, grid, o, b, 0, mesh=mesh, max_disp=1.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-11)
