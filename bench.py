@@ -58,25 +58,35 @@ def wait_healthy(limit=5.0, tries=30):
     return h
 
 
-def slope_time(make_f, args, R1=1, R2=5, iters=4):
-    """Per-application wall time: in-jit chains of R1 and R2 op
-    applications, slope between the two chain lengths (dispatch + sync
-    overhead cancels)."""
+def slope_time(body, args, R1=2, R2=12, iters=3, perturb=1e-6):
+    """Per-application wall time with the tunnel's three timing traps
+    cancelled: (a) ~3 ms dispatch floor + large sync latency, (b)
+    value-level result caching of bitwise-identical dispatch inputs
+    (so every call perturbs its input by a bit-changing 1e-6, never an
+    underflowing 1e-30), (c) remote-compile blowup of unrolled chains
+    (so the op is chained with ``lax.fori_loop`` over a RUNTIME trip
+    count — one compile serves every R).  Reported: the slope between
+    two chain lengths.  ``body(carry) -> carry`` applies the op once."""
+
+    @jax.jit
+    def chain(r, *cur):
+        return jax.lax.fori_loop(0, r, lambda i, c: body(c), cur)
+
+    salt = [0]
+
+    def run(R, n):
+        out = None
+        for _ in range(n):
+            salt[0] += 1
+            cur = (args[0] + salt[0] * perturb,) + tuple(args[1:])
+            out = chain(R, *cur)
+        _sync(jnp.ravel(out[0])[:1])
+
     ts = []
     for R in (R1, R2):
-        f = jax.jit(make_f(R))
-
-        def run(n):
-            cur = args
-            out = None
-            for _ in range(n):
-                out = f(*cur)
-                cur = (cur[0] + jnp.ravel(out)[0] * 1e-30,) + cur[1:]
-            _sync(jnp.ravel(out)[:1])
-
-        run(2)              # compile + settle
+        run(R, 2)           # compile + settle
         t0 = time.time()
-        run(iters)
+        run(R, iters)
         ts.append((time.time() - t0) / iters)
     return max((ts[1] - ts[0]) / (R2 - R1), 1e-9)
 
@@ -118,14 +128,9 @@ def bench_pull(n=256, order=3, max_disp=2.0):
     vol, grid = _data(n, max_disp)
     o, b = (order,) * 3, (3,) * 3
 
-    def mk(R):
-        def f(v, g):
-            for _ in range(R):
-                v = wd.pull_window(v, g, o, b, 1, max_disp)
-            return v
-        return f
-
-    dt = slope_time(mk, (vol, grid))
+    dt = slope_time(
+        lambda c: (wd.pull_window(c[0], c[1], o, b, 1, max_disp), c[1]),
+        (vol, grid))
     return n ** 3 / dt / 1e9
 
 

@@ -1,12 +1,19 @@
 """Quantitative baseline suite (BASELINE.md: the reference publishes no
 numbers, so this framework establishes them).
 
-Measures pull/push/grad (windowed warp path) and the prefilter at several
-volume sizes / orders / dtypes on the attached accelerator, appending one
-JSON line per measurement to ``BENCH_SUITE.jsonl`` — incremental and
-restartable, because the shared device tunnel can stall between runs.
+Measures pull/push/grad (windowed warp path), the prefilter, and the
+warp-MSE training step at several volume sizes / orders on the attached
+accelerator, appending one JSON line per measurement to
+``BENCH_SUITE.jsonl`` — incremental and restartable, because the shared
+device tunnel can stall between runs.
 
-Usage:  python scripts/bench_suite.py [quick|full]
+Round-2 harness: ``scripts_common.slope_time`` (fori_loop chains at a
+runtime trip count, >=1e-6 input perturbation, slope between two chain
+lengths) — cancels the tunnel's dispatch floor, sync latency, and
+value-level result caching.  Round-1 rows in the JSONL used a
+dispatch-exposed harness and are superseded.
+
+Usage:  python scripts/bench_suite.py [quick|full|step]
 """
 import itertools
 import json
@@ -20,8 +27,9 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench import wait_healthy, _sync  # noqa: E402
+from scripts_common import wait_healthy, slope_time  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_SUITE.jsonl")
@@ -30,6 +38,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(
 def record(entry):
     entry["device"] = str(jax.devices()[0])
     entry["ts"] = time.time()
+    entry["harness"] = "slope_fori_r2"
     with open(OUT, "a") as f:
         f.write(json.dumps(entry) + "\n")
     print(json.dumps(entry), flush=True)
@@ -41,25 +50,11 @@ def done_keys():
         for line in open(OUT):
             try:
                 e = json.loads(line)
-                keys.add(e["key"])
+                if e.get("harness") == "slope_fori_r2":
+                    keys.add(e["key"])
             except Exception:
                 pass
     return keys
-
-
-def measure_chain(f, args, feedback, iters=3):
-    def run(n):
-        cur = args
-        out = None
-        for _ in range(n):
-            out = f(*cur)
-            cur = feedback(cur, out)
-        _sync(out)
-
-    run(2)    # compile the op AND the chain's auxiliary ops
-    t0 = time.time()
-    run(iters)
-    return max((time.time() - t0) / iters, 1e-9)
 
 
 def bench_op(op, n, order, dtype_name, max_disp=2.0):
@@ -68,34 +63,53 @@ def bench_op(op, n, order, dtype_name, max_disp=2.0):
 
     dtype = dict(fp32=jnp.float32, bf16=jnp.bfloat16)[dtype_name]
     rng = np.random.default_rng(0)
-    vol = jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32)
+    vol = jnp.asarray(rng.standard_normal((1, n, n, n)).astype(np.float32)
                       ).astype(dtype)
+    o, b = (order,) * 3, (3,) * 3
     if op == "coeff":
-        f = jax.jit(partial(cf.spline_coeff_nd, orders=(order,) * 3,
-                            bounds=(3,) * 3, ndim=3))
-        dt = measure_chain(f, (vol,),
-                           lambda a, o: (vol + o[0, 0, 0] * 1e-30,))
+        dt, _ = slope_time(
+            lambda c: (cf.spline_coeff_nd(c[0], o, b, 3),), (vol,))
         return dt
 
     ident = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
                      -1).astype(np.float32)
     grid = jnp.asarray(ident + rng.uniform(-max_disp, max_disp,
-                                           ident.shape).astype(np.float32)
-                       ).astype(dtype)
-    o, b = (order,) * 3, (3,) * 3
+                                           ident.shape).astype(np.float32))
     if op == "pull":
-        g = jax.jit(lambda v, gr: wdm.pull_window(v[None], gr, o, b, 1,
-                                                  max_disp)[0])
+        body = lambda c: (wdm.pull_window(c[0], c[1], o, b, 1, max_disp),
+                          c[1])
     elif op == "push":
-        g = jax.jit(lambda v, gr: wdm.push_window(v[None], gr, o, b, 1,
-                                                  max_disp)[0])
+        body = lambda c: (wdm.push_window(c[0], c[1], o, b, 1, max_disp),
+                          c[1])
     elif op == "grad":
-        g = jax.jit(lambda v, gr: wdm.grad_window(v[None], gr, o, b, 1,
-                                                  max_disp)[0])
-    return measure_chain(
-        g, (vol, grid),
-        lambda a, out: (vol + jnp.ravel(out)[0].astype(dtype) * 1e-30,
-                        grid))
+        def body(c):
+            g = wdm.grad_window(c[0], c[1], o, b, 1, max_disp)
+            return (g[..., 0].astype(dtype)
+                    + (1e-6 * (g[..., 1] + g[..., 2])).astype(dtype),
+                    c[1])
+    dt, _ = slope_time(body, (vol, grid))
+    return dt
+
+
+def bench_step(n):
+    """Full warp-MSE value_and_grad training step (flagship model)."""
+    from interpol_tpu.models import WarpModel
+    rng = np.random.default_rng(0)
+    model = WarpModel(vol_shape=(n, n, n), coarse_shape=(8, 8, 8),
+                      interpolation=3, bound="dct2")
+    params = model.init_params(1) + 0.01
+    moving = jnp.asarray(
+        rng.standard_normal((1, 1, n, n, n)).astype(np.float32))
+    fixed = moving * 0.9
+
+    def body(c):
+        p = c[0]
+        _, g = jax.value_and_grad(
+            lambda pp: jnp.mean((model.warp(pp, moving) - fixed) ** 2))(p)
+        return (p - 0.1 * g,)
+
+    dt, _ = slope_time(body, (params,))
+    return dt
 
 
 def main():
@@ -103,14 +117,21 @@ def main():
     if mode == "quick":
         sizes, orders, dtypes = [128], [1, 3], ["fp32"]
         ops = ["pull", "push", "coeff"]
+        steps = []
+    elif mode == "step":
+        sizes, orders, dtypes, ops = [], [], [], []
+        steps = [128, 192]
     else:
         sizes, orders, dtypes = [128, 192, 256], [1, 3, 5], ["fp32", "bf16"]
         ops = ["pull", "push", "grad", "coeff"]
+        steps = [128, 192]
 
     skip = done_keys()
     for op, n, order, dt in itertools.product(ops, sizes, orders, dtypes):
         if op == "coeff" and (dt == "bf16" or order == 1):
             continue
+        if dt == "bf16" and (n, order) != (256, 3):
+            continue      # bf16: one representative point (compute is f32)
         key = f"{op}_{n}_{order}_{dt}"
         if key in skip:
             continue
@@ -121,8 +142,22 @@ def main():
             record({"key": key, "error": str(e)[:200]})
             continue
         record({"key": key, "op": op, "size": n, "order": order,
-                "dtype": dt, "ms": round(secs * 1e3, 2),
+                "dtype": dt, "ms": round(secs * 1e3, 3),
                 "gvox_s": round(n ** 3 / secs / 1e9, 4),
+                "health_s": round(h, 2)})
+
+    for n in steps:
+        key = f"step_{n}_3_fp32"
+        if key in skip:
+            continue
+        try:
+            h = wait_healthy()
+            secs = bench_step(n)
+        except Exception as e:
+            record({"key": key, "error": str(e)[:200]})
+            continue
+        record({"key": key, "op": "train_step", "size": n, "order": 3,
+                "dtype": "fp32", "ms": round(secs * 1e3, 3),
                 "health_s": round(h, 2)})
 
 
