@@ -93,11 +93,19 @@ def _use_window(max_disp, grid, inp):
             and tuple(grid.shape[1:-1]) == tuple(inp.shape[2:]))
 
 
+def _md_norm(max_disp):
+    """Hashable scalar-or-per-axis displacement bound (custom_vjp
+    nondiff arg)."""
+    if isinstance(max_disp, (tuple, list)):
+        return tuple(float(m) for m in max_disp)
+    return float(max_disp)
+
+
 def _window_pull_dispatch(inp, grid, orders, bounds, ex, max_disp):
     """Windowed fast path (the Pallas-vs-XLA choice happens inside
     window.pull_window's forward, under its custom VJP)."""
     f = lambda v, g: _window.pull_window(v, g, orders, bounds, ex,
-                                         float(max_disp))
+                                         _md_norm(max_disp))
     return jax.vmap(f)(inp, grid)
 
 
@@ -189,7 +197,7 @@ def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
     if (max_disp is not None and shape == tuple(inp.shape[2:])
             and tuple(grid.shape[1:-1]) == shape):
         f = lambda v, g: _window.push_window(v, g, orders, bounds, ex,
-                                             float(max_disp))
+                                             _md_norm(max_disp))
         out = jax.vmap(f)(inp, grid)
     else:
         out = _pp.push(inp, grid, shape, orders, bounds, ex)
@@ -214,7 +222,7 @@ def grid_count(grid, shape=None, interpolation="linear", bound="zero",
     if max_disp is not None and shape == tuple(grid.shape[1:-1]):
         ones = jnp.ones((grid.shape[0], 1) + shape, dtype=grid.dtype)
         f = lambda v, g: _window.push_window(v, g, orders, bounds, ex,
-                                             float(max_disp))
+                                             _md_norm(max_disp))
         out = jax.vmap(f)(ones, grid)
     else:
         out = _pp.count(grid, shape, orders, bounds, ex)
@@ -236,7 +244,7 @@ def grid_grad(input, grid, interpolation="linear", bound="zero",
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
         f = lambda v, g: _window.grad_window(v, g, orders, bounds, ex,
-                                             float(max_disp))
+                                             _md_norm(max_disp))
         out = jax.vmap(f)(inp, grid)
     else:
         out = _pp.grad(inp, grid, orders, bounds, ex)

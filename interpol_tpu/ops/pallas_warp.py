@@ -200,7 +200,9 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
 def _geometry(ishape, orders, max_disp, tile):
     """Shared box/pad geometry for the warp kernels."""
     D = 3
-    ranges = tuple(window_range(orders[d], max_disp) for d in range(D))
+    from .window import _md_tuple
+    md = _md_tuple(max_disp, D)
+    ranges = tuple(window_range(orders[d], md[d]) for d in range(D))
     lo, hi = _window_geom(orders, max_disp, D)
     S = tuple(r[1] - r[0] + 1 for r in ranges)
     need = [t + s - 1 for t, s in zip(tile, S)]

@@ -75,6 +75,16 @@ def window_range(order: int, max_disp: float) -> Tuple[int, int]:
     return d0min, d0max + order
 
 
+def _md_tuple(max_disp, D):
+    """Normalize max_disp to a per-axis tuple (anisotropic displacement
+    bounds; also used internally to lift 2-D warps into the 3-D Pallas
+    kernel with a zero-displacement dummy axis)."""
+    if isinstance(max_disp, (tuple, list)):
+        assert len(max_disp) == D
+        return tuple(float(m) for m in max_disp)
+    return (float(max_disp),) * D
+
+
 def _pad_folded(inp: jnp.ndarray, ishape, bounds, lo: Sequence[int],
                 hi: Sequence[int], wdtype) -> jnp.ndarray:
     """Pad the last D axes with boundary-folded (index + sign) content."""
@@ -103,11 +113,12 @@ def _coef_fields(grid, ishape, orders, max_disp, wdtype, deriv_axis=None):
     axis d.  ``deriv_axis`` selects the derivative factors on that axis.
     """
     D = grid.shape[-1]
+    md = _md_tuple(max_disp, D)
     ranges, coefs = [], []
     for d in range(D):
         g = grid[..., d].astype(wdtype)
         order = orders[d]
-        smin, smax = window_range(order, max_disp)
+        smin, smax = window_range(order, md[d])
         n0, t = node_origin(g, order)
         need_grad = (deriv_axis == d)
         w, gr, _ = bspline_taps(t, order, grad=need_grad)
@@ -169,9 +180,10 @@ def pull_window(inp, grid, orders, bounds, extrapolate, max_disp):
 
 
 def _window_geom(orders, max_disp, D):
+    md = _md_tuple(max_disp, D)
     los, his = [], []
     for d in range(D):
-        smin, smax = window_range(orders[d], max_disp)
+        smin, smax = window_range(orders[d], md[d])
         los.append(max(0, -smin))
         his.append(max(0, smax))
     return los, his
@@ -188,7 +200,7 @@ def _should_pallas(ishape) -> bool:
     if be == "xla":
         return False
     from .pallas_warp import default_tile
-    eligible = default_tile(ishape) is not None
+    eligible = (default_tile(ishape) is not None or len(ishape) == 2)
     if be == "pallas":
         return eligible
     return eligible and jax.default_backend() == "tpu"
@@ -199,18 +211,41 @@ def _push_kernel_fits(orders, max_disp):
     transposed-placement kernel compiles well past round 1's span-12
     ceiling (order-7 at max_disp=4 is span 19, on-chip verified); keep
     a generous guard for pathological windows."""
+    md = _md_tuple(max_disp, len(orders))
     S = [r[1] - r[0] + 1
-         for r in (window_range(o, max_disp) for o in orders)]
+         for r in (window_range(o, m) for o, m in zip(orders, md))]
     return max(S) <= 24
+
+
+def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
+                 value, grad):
+    """Dispatch into the 3-D Pallas kernel; 2-D warps are lifted with a
+    dummy leading axis (order 0, zero displacement, window span 1 — no
+    extra compute)."""
+    from .pallas_warp import warp_pallas
+    D = grid.shape[-1]
+    md = _md_tuple(max_disp, D)
+    if D == 3:
+        return warp_pallas(inp, grid, tuple(orders), tuple(bounds),
+                           extrapolate, md, value=value, grad=grad)
+    zeros = jnp.zeros(grid.shape[:-1] + (1,), grid.dtype)
+    grid3 = jnp.concatenate([zeros, grid], axis=-1)[None]
+    val, g = warp_pallas(inp[:, None], grid3, (0,) + tuple(orders),
+                         (1,) + tuple(bounds), extrapolate, (0.0,) + md,
+                         value=value, grad=grad, tile=(1, 8, 128))
+    if val is not None:
+        val = val[:, 0]
+    if g is not None:
+        g = g[:, 0, ..., 1:]
+    return val, g
 
 
 def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape):
-        from .pallas_warp import warp_pallas
-        val, _ = warp_pallas(inp, grid, tuple(orders), tuple(bounds),
-                             extrapolate, float(max_disp), value=True)
+        val, _ = _pallas_warp(inp, grid, orders, bounds, extrapolate,
+                              max_disp, True, False)
         return val
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -229,13 +264,11 @@ def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape):
-        # fused kernel: all three derivative fields from one pass over
-        # the shift window (the boundary-folded pad already carries the
+        # fused kernel: all derivative fields from one pass over the
+        # shift window (the boundary-folded pad already carries the
         # signs, so it serves gradients too)
-        from .pallas_warp import warp_pallas
-        _, g = warp_pallas(inp, grid, tuple(orders), tuple(bounds),
-                           extrapolate, float(max_disp), value=False,
-                           grad=True)
+        _, g = _pallas_warp(inp, grid, orders, bounds, extrapolate,
+                            max_disp, False, True)
         return g
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -264,8 +297,18 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape) and _push_kernel_fits(orders, max_disp):
         from .pallas_warp import push_window_pallas
-        return push_window_pallas(inp, grid, tuple(orders), tuple(bounds),
-                                  extrapolate, float(max_disp))
+        md = _md_tuple(max_disp, D)
+        if D == 3:
+            return push_window_pallas(inp, grid, tuple(orders),
+                                      tuple(bounds), extrapolate, md)
+        if D == 2:
+            zeros = jnp.zeros(grid.shape[:-1] + (1,), grid.dtype)
+            grid3 = jnp.concatenate([zeros, grid], axis=-1)[None]
+            out = push_window_pallas(
+                inp[:, None], grid3, (0,) + tuple(orders),
+                (1,) + tuple(bounds), extrapolate, (0.0,) + md,
+                tile=(1, 8, 128))
+            return out[:, 0]
     C = inp.shape[0]
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)

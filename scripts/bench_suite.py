@@ -67,8 +67,11 @@ def bench_op(op, n, order, dtype_name, max_disp=2.0):
                       ).astype(dtype)
     o, b = (order,) * 3, (3,) * 3
     if op == "coeff":
+        # very fast op: widen the chain-length contrast so the slope
+        # rises above queue noise
         dt, _ = slope_time(
-            lambda c: (cf.spline_coeff_nd(c[0], o, b, 3),), (vol,))
+            lambda c: (cf.spline_coeff_nd(c[0], o, b, 3),), (vol,),
+            R1=2, R2=62)
         return dt
 
     ident = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
@@ -76,11 +79,11 @@ def bench_op(op, n, order, dtype_name, max_disp=2.0):
     grid = jnp.asarray(ident + rng.uniform(-max_disp, max_disp,
                                            ident.shape).astype(np.float32))
     if op == "pull":
-        body = lambda c: (wdm.pull_window(c[0], c[1], o, b, 1, max_disp),
-                          c[1])
+        body = lambda c: (wdm.pull_window(c[0], c[1], o, b, 1, max_disp
+                                          ).astype(dtype), c[1])
     elif op == "push":
-        body = lambda c: (wdm.push_window(c[0], c[1], o, b, 1, max_disp),
-                          c[1])
+        body = lambda c: (wdm.push_window(c[0], c[1], o, b, 1, max_disp
+                                          ).astype(dtype), c[1])
     elif op == "grad":
         def body(c):
             g = wdm.grad_window(c[0], c[1], o, b, 1, max_disp)

@@ -106,3 +106,48 @@ def test_bf16_inputs_compute_f32():
     ref = window._pull_impl(inp, grid, (3,) * 3, (3,) * 3, 1, 1.5)[0]
     np.testing.assert_allclose(np.asarray(out, dtype=np.float64),
                                np.asarray(ref), atol=0.05)
+
+
+def test_2d_lift_matches_window():
+    """2-D dense warps route through the 3-D kernel via a dummy
+    order-0, zero-displacement leading axis (window span 1)."""
+    rng = np.random.default_rng(7)
+    ish = (24, 130)
+    inp = jnp.asarray(rng.standard_normal((2,) + ish))
+    ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
+                                 indexing="ij"), -1).astype(np.float64)
+    grid = jnp.asarray(ident + rng.uniform(-1.5, 1.5, ident.shape))
+    o, b = (3, 2), (3, 5)
+    ref = window._pull_impl(inp, grid, o, b, 1, 1.5)
+    refg = window._grad_impl(inp, grid, o, b, 1, 1.5)
+    refp = window._push_impl(inp, grid, o, b, 1, 1.5)
+    from interpol_tpu import backend
+    with backend.use_backend("pallas"), \
+            __import__("jax").experimental.pallas.tpu.force_tpu_interpret_mode():
+        out = window._pull_impl(inp, grid, o, b, 1, 1.5)
+        outg = window._grad_impl(inp, grid, o, b, 1, 1.5)
+        outp = window._push_impl(inp, grid, o, b, 1, 1.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp), atol=1e-12)
+
+
+def test_anisotropic_max_disp():
+    """Per-axis max_disp tuples size each axis's window independently."""
+    rng = np.random.default_rng(8)
+    ish = (16, 16, 64)
+    inp = jnp.asarray(rng.standard_normal((1,) + ish))
+    ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
+                                 indexing="ij"), -1).astype(np.float64)
+    disp = rng.uniform(-1, 1, ident.shape) * np.array([0.5, 2.0, 1.0])
+    grid = jnp.asarray(ident + disp)
+    o, b = (3,) * 3, (3,) * 3
+    ref = window._pull_impl(inp, grid, o, b, 1, 2.0)
+    out = window._pull_impl(inp, grid, o, b, 1, (0.5, 2.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+    val, _ = pallas_warp.warp_pallas(inp, grid, o, b, 1,
+                                     (0.5, 2.0, 1.0),
+                                     tile=(8, 8, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref),
+                               atol=1e-12)
