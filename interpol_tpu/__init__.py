@@ -18,7 +18,7 @@ from .ops.api import (  # noqa: F401
     grid_pull, grid_push, grid_count, grid_grad,
     spline_coeff, spline_coeff_nd,
     identity_grid, add_identity_grid, affine_grid,
-    pull, push, count,
+    pull, push, count, required_tile_spread,
 )
 from .ops.resize import resize, restrict  # noqa: F401
 
@@ -28,7 +28,8 @@ __all__ = [
     "grid_pull", "grid_push", "grid_count", "grid_grad",
     "spline_coeff", "spline_coeff_nd",
     "identity_grid", "add_identity_grid", "affine_grid",
-    "pull", "push", "count", "resize", "restrict",
+    "pull", "push", "count", "required_tile_spread",
+    "resize", "restrict",
     "BoundType", "ExtrapolateType", "InterpolationType",
     "options", "backend",
 ]

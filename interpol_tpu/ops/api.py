@@ -101,17 +101,19 @@ def _md_norm(max_disp):
     return float(max_disp)
 
 
-def _window_pull_dispatch(inp, grid, orders, bounds, ex, max_disp):
+def _window_pull_dispatch(inp, grid, orders, bounds, ex, max_disp,
+                          tile_spread=None):
     """Windowed fast path (the Pallas-vs-XLA choice happens inside
     window.pull_window's forward, under its custom VJP)."""
+    sp = None if tile_spread is None else _md_norm(tile_spread)
     f = lambda v, g: _window.pull_window(v, g, orders, bounds, ex,
-                                         _md_norm(max_disp))
+                                         _md_norm(max_disp), sp)
     return jax.vmap(f)(inp, grid)
 
 
 def grid_pull(input, grid, interpolation="linear", bound="zero",
               extrapolate=False, prefilter=False, *, classes=None,
-              max_disp=None):
+              max_disp=None, tile_spread=None):
     """Sample an image at the positions of a deformation field.
 
     Parameters (reference api.py:149-212)
@@ -127,10 +129,17 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
     classes : optional sequence of label values — enables the label-map
         path with static shapes (usable under jit).  Without it, integer
         inputs use ``np.unique`` on the host (not traceable).
-    max_disp : optional float — declares that every sample lies within
-        ``max_disp`` voxels of its own site (dense warp grids).  Enables
-        the gather-free windowed fast path (ops/window.py); samples
-        violating the bound lose out-of-window taps.
+    max_disp : optional float or per-axis tuple — declares that every
+        sample lies within ``max_disp`` voxels of its own site (dense
+        warp grids).  Enables the gather-free windowed fast path
+        (ops/window.py); samples violating the bound lose out-of-window
+        taps.
+    tile_spread : optional float or per-axis tuple — opt-in adaptive
+        per-tile windows on the TPU native tier: bounds the *residual*
+        displacement |d - round(mean)| over each (8, 8, 128) kernel
+        tile per axis, making the warp cost independent of
+        ``max_disp`` for tile-smooth fields.  Same graceful-degradation
+        failure mode.  Requires ``max_disp``.
 
     Returns
     -------
@@ -151,10 +160,42 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
         out = _window_pull_dispatch(inp, grid, orders, bounds, ex,
-                                    max_disp)
+                                    max_disp, tile_spread)
     else:
         out = _pp.pull(inp, grid, orders, bounds, ex)
     return _postproc(out, info, "pull")
+
+
+def required_tile_spread(grid, tile=(8, 8, 128)):
+    """Per-axis residual displacement bound of a dense sampling grid
+    over the TPU kernel's tiles — the value to pass as ``tile_spread``.
+
+    grid: (..., *spatial, D) dense sampling grid (voxel coordinates).
+    Returns a per-axis tuple of floats: max over tiles of
+    |d_a(p) - round(mean_tile(d_a))|.  Not traceable (returns concrete
+    floats); call it outside jit on a representative field.
+    """
+    g = np.asarray(jax.device_get(jnp.asarray(grid)))
+    D = g.shape[-1]
+    sp = g.shape[-D - 1:-1]
+    g = g.reshape((-1,) + tuple(sp) + (D,))
+    tile = tuple(tile)[-D:]
+    out = []
+    for d in range(D):
+        iota = np.arange(sp[d]).reshape(
+            [1] * (1 + d) + [sp[d]] + [1] * (D - 1 - d))
+        disp = g[..., d] - iota
+        # pad up to tile multiples with edge values (what the kernel does)
+        pads = [(0, 0)] + [(0, (-n) % t) for n, t in zip(sp, tile)]
+        disp = np.pad(disp, pads, mode="edge")
+        shp = [disp.shape[0]]
+        for n, t in zip(disp.shape[1:], tile):
+            shp += [n // t, t]
+        disp = disp.reshape(shp)
+        axes = tuple(range(2, 2 + 2 * D, 2))
+        m = np.round(disp.mean(axis=axes, keepdims=True))
+        out.append(float(np.abs(disp - m).max()))
+    return tuple(out)
 
 
 def _label_pull(input, grid, orders, bounds, ex, prefilter, classes):
@@ -230,10 +271,12 @@ def grid_count(grid, shape=None, interpolation="linear", bound="zero",
 
 
 def grid_grad(input, grid, interpolation="linear", bound="zero",
-              extrapolate=False, prefilter=False, *, max_disp=None):
+              extrapolate=False, prefilter=False, *, max_disp=None,
+              tile_spread=None):
     """Sample spatial gradients of an image at the positions of a
     deformation field.  Reference api.py:302-344.  ``max_disp`` enables
-    the windowed fast path for dense grids."""
+    the windowed fast path for dense grids; ``tile_spread`` the
+    adaptive per-tile windows (see grid_pull)."""
     input = jnp.asarray(input)
     grid = jnp.asarray(grid)
     D = grid.shape[-1]
@@ -243,8 +286,9 @@ def grid_grad(input, grid, interpolation="linear", bound="zero",
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
+        sp = None if tile_spread is None else _md_norm(tile_spread)
         f = lambda v, g: _window.grad_window(v, g, orders, bounds, ex,
-                                             _md_norm(max_disp))
+                                             _md_norm(max_disp), sp)
         out = jax.vmap(f)(inp, grid)
     else:
         out = _pp.grad(inp, grid, orders, bounds, ex)

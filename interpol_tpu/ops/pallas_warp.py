@@ -94,14 +94,15 @@ def _pad_grid_edge(grid, ishape_a):
 
 
 def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
-                 grad=False):
+                 grad=False, base=None):
     """In-kernel per-axis coefficient planes.
 
     Returns (weight_planes, grad_planes): lists of S arrays where plane
     k is the weight (resp. spline derivative) this voxel applies to
     relative shift smin+k.  ``grad_planes`` is None unless requested;
     when requested it shares the tap recursion and the one-hot selects
-    with the weight planes.
+    with the weight planes.  ``base`` (dynamic scalar) re-centers the
+    shift window on the tile's base displacement (adaptive mode).
     """
     n0f = jnp.floor(g - (order - 1) / 2) if order > 0 else jnp.round(g)
     t = g - n0f
@@ -109,6 +110,8 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
     # delta0 = n0 - p, p = global voxel index along `axis` for this tile
     p = origin + jax.lax.broadcasted_iota(jnp.int32, tile_shape, axis)
     d0 = n0f.astype(jnp.int32) - p
+    if base is not None:
+        d0 = d0 - base
     d0min, d0max = smin, smax - order
     planes_w, planes_g = [], ([] if grad else None)
     zero = jnp.zeros_like(g)
@@ -129,9 +132,21 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
 
 
 def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
-                 orders, ranges, tile, box_shape, value, grad):
+                 orders, ranges, tile, box_shape, value, grad,
+                 base_margin=None):
     """Fused windowed pull: up to 4 outputs (value, d/dx, d/dy, d/dz)
-    from one pass over the shift window."""
+    from one pass over the shift window.
+
+    Adaptive mode (``base_margin`` = static per-axis pad margins): three
+    extra SMEM inputs hold the per-tile integer base displacements; the
+    box DMA origin shifts by the base (leading dim exact; sublane/lane
+    dims aligned down with the residue removed by a dynamic roll), and
+    the coefficient planes select over the *residual* window.
+    """
+    adaptive = base_margin is not None
+    if adaptive:
+        bx_ref, by_ref, bz_ref = out_refs[:3]
+        out_refs = out_refs[3:]
     box, sem = out_refs[-2], out_refs[-1]
     out_refs = out_refs[:-2]
     TX, TY, TZ = tile
@@ -142,22 +157,44 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     ix, iy, iz = pl.program_id(1), pl.program_id(2), pl.program_id(3)
     x0, y0, z0 = ix * TX, iy * TY, iz * TZ
 
-    cp = pltpu.make_async_copy(
-        vpad_hbm.at[c, pl.ds(x0, BXa), pl.ds(y0, BYa), pl.ds(z0, BZa)],
-        box, sem)
+    if adaptive:
+        bx, by, bz = bx_ref[ix, iy, iz], by_ref[ix, iy, iz], \
+            bz_ref[ix, iy, iz]
+        # fetch origins in padded coords (pad lo = margin - smin, so the
+        # window origin is x0 + margin + b); y/z align down, the
+        # residue is rolled off after the DMA
+        ox = x0 + base_margin[0] + bx
+        oyr = y0 + base_margin[1] + by
+        ozr = z0 + base_margin[2] + bz
+        oy = (oyr // 8) * 8
+        oz = (ozr // 128) * 128
+        ry, rz = oyr - oy, ozr - oz
+        src = vpad_hbm.at[c, pl.ds(ox, BXa),
+                          pl.ds(pl.multiple_of(oy, 8), BYa),
+                          pl.ds(pl.multiple_of(oz, 128), BZa)]
+    else:
+        bx = by = bz = None
+        src = vpad_hbm.at[c, pl.ds(x0, BXa), pl.ds(y0, BYa),
+                          pl.ds(z0, BZa)]
+    cp = pltpu.make_async_copy(src, box, sem)
     cp.start()
 
     # coefficient (and derivative) planes overlap the DMA
     shape = (TX, TY, TZ)
     cxs, gxs = _coef_planes(gx_ref[0], orders[0], sx0, sx1, x0, 0, shape,
-                            grad=grad)
+                            grad=grad, base=bx)
     cys, gys = _coef_planes(gy_ref[0], orders[1], sy0, sy1, y0, 1, shape,
-                            grad=grad)
+                            grad=grad, base=by)
     czs, gzs = _coef_planes(gz_ref[0], orders[2], sz0, sz1, z0, 2, shape,
-                            grad=grad)
+                            grad=grad, base=bz)
 
     cp.wait()
     bval = box[...]
+    if adaptive:
+        # remove the alignment residues: roll rows/lanes so the window
+        # origin sits at index 0 (dynamic rotate)
+        bval = pltpu.roll(bval, BYa - ry, 1)
+        bval = pltpu.roll(bval, BZa - rz, 2)
 
     dt = out_refs[0].dtype
     acc_v = jnp.zeros(shape, dt) if value else None
@@ -213,10 +250,37 @@ def _geometry(ishape, orders, max_disp, tile):
     return ranges, lo, hi, S, box_shape
 
 
+def _geometry_adaptive(ishape, orders, max_disp, spread, tile):
+    """Box/pad geometry for the adaptive (per-tile base) kernel.
+
+    The shift window is the *residual* window from ``spread``; the pad
+    absorbs the worst-case base (B = ceil(max_disp) per axis) plus the
+    DMA alignment slop on the sublane/lane axes."""
+    D = 3
+    from .window import _md_tuple
+    md = _md_tuple(max_disp, D)
+    sp = _md_tuple(spread, D)
+    ranges = tuple(window_range(orders[d], sp[d]) for d in range(D))
+    S = tuple(r[1] - r[0] + 1 for r in ranges)
+    B = tuple(int(math.ceil(m)) for m in md)
+    # margin: window origin for base b sits at tile0 + (B - smin) + b + smin
+    #       = tile0 + B + b  >= tile0 (b >= -B)
+    margin = tuple(B[d] - ranges[d][0] for d in range(D))
+    lo = list(margin)
+    need = (tile[0] + S[0] - 1,
+            -(-(tile[1] + S[1] - 1 + 7) // 8) * 8,
+            -(-(tile[2] + S[2] - 1 + 127) // 128) * 128)
+    hi = [B[d] + ranges[d][1] + (need[d] - (tile[d] + S[d] - 1))
+          for d in range(D)]
+    base_margin = tuple(B)
+    return ranges, lo, hi, S, tuple(need), base_margin
+
+
 def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                 orders: Tuple[int, ...], bounds: Tuple[int, ...],
                 extrapolate: int, max_disp: float, *,
                 value: bool = True, grad: bool = False,
+                spread=None,
                 tile: Tuple[int, int, int] = None,
                 interpret: bool = False):
     """Fused dense-grid 3D pull / spatial gradient on the native tier.
@@ -226,6 +290,16 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     None, per the ``value`` / ``grad`` flags.  Channels ride a kernel
     grid dimension (single launch); batching above this is vmap.
     Same semantics/contract as ops/window.pull_window / grad_window.
+
+    ``spread``: opt-in adaptive per-tile windows.  A per-axis bound on
+    the *residual* displacement |d_a(p) - round(mean_tile(d_a))| over
+    each (TX, TY, TZ) tile — note the tile spans TZ=128 voxels along
+    the last axis, so the bound is over that whole extent.  The shift
+    window is then sized by ``spread`` instead of ``max_disp``: compute
+    cost becomes independent of the displacement magnitude for
+    tile-smooth fields.  Samples violating the residual bound lose
+    taps (graceful degradation, same failure mode as the max_disp
+    contract).
     """
     C = inp.shape[0]
     ishape = tuple(inp.shape[1:])
@@ -242,28 +316,63 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     # and bf16 VMEM tiling differs (16-sublane)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
-    ranges, lo, hi, S, box_shape = _geometry(ishape, orders, max_disp,
-                                             tile)
+    adaptive = spread is not None
+    if adaptive:
+        (ranges, lo, hi, S, box_shape,
+         base_margin) = _geometry_adaptive(ishape, orders, max_disp,
+                                           spread, tile)
+    else:
+        ranges, lo, hi, S, box_shape = _geometry(ishape, orders,
+                                                 max_disp, tile)
+        base_margin = None
 
     # boundary-folded window pad for the real volume, then zero-extend to
     # tile alignment (margin tiles compute garbage that is sliced off)
     ishape_a = _aligned(ishape, tile)
     vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)
     extra = [a - n for a, n in zip(ishape_a, ishape)]
+    if adaptive:
+        # per-tile base displacements from the *displacement* field,
+        # edge-replicated into the alignment margin (replicating raw
+        # grid coords would skew the means by the margin distance)
+        from .window import _md_tuple
+        md = _md_tuple(max_disp, D)
+        iota = jnp.stack(
+            [jax.lax.broadcasted_iota(wdtype, ishape, d)
+             for d in range(D)], -1)
+        disp = grid.astype(wdtype) - iota
+        if any(extra):
+            disp = jnp.pad(disp, [(0, e) for e in extra] + [(0, 0)],
+                           mode="edge")
+            iota_a = jnp.stack(
+                [jax.lax.broadcasted_iota(wdtype, ishape_a, d)
+                 for d in range(D)], -1)
+            grid = iota_a + disp
+    elif any(extra):
+        grid = _pad_grid_edge(grid, ishape_a)
     if any(extra):
         vpad = jnp.pad(vpad, [(0, 0)] + [(0, e) for e in extra])
-        grid = _pad_grid_edge(grid, ishape_a)
     ntiles = tuple(a // t for a, t in zip(ishape_a, tile))
+
+    bs = []
+    if adaptive:
+        for d in range(D):
+            m = disp[..., d].reshape(
+                ntiles[0], tile[0], ntiles[1], tile[1],
+                ntiles[2], tile[2]).mean(axis=(1, 3, 5))
+            B = int(math.ceil(md[d]))
+            bs.append(jnp.clip(jnp.round(m), -B, B).astype(jnp.int32))
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
-                     value=value, grad=grad)
+                     value=value, grad=grad, base_margin=base_margin)
     gspec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (0, i, j, k),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (c, i, j, k),
                          memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     n_out = (1 if value else 0) + (3 if grad else 0)
     g = grid.astype(wdtype)[None]
     outs = pl.pallas_call(
@@ -272,7 +381,8 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         in_specs=[gspec, gspec, gspec,
                   # the padded volume stays in HBM: the kernel DMAs one
                   # aligned box per tile
-                  pl.BlockSpec(memory_space=pltpu.HBM)],
+                  pl.BlockSpec(memory_space=pltpu.HBM)]
+        + [sspec] * (3 if adaptive else 0),
         out_specs=[ospec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((C,) + ishape_a, wdtype)] * n_out,
         scratch_shapes=[
@@ -282,7 +392,7 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 4),
         interpret=interpret,
-    )(g[..., 0], g[..., 1], g[..., 2], vpad)
+    )(g[..., 0], g[..., 1], g[..., 2], vpad, *bs)
 
     crop = (slice(None),) + tuple(slice(0, n) for n in ishape)
     outs = [o[crop] for o in outs]

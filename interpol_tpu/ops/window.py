@@ -169,14 +169,20 @@ def _accumulate(vpad, ranges, coefs, lo, ishape, combine):
 
 # ----------------------------------------------------------------- pull
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def pull_window(inp, grid, orders, bounds, extrapolate, max_disp):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def pull_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                spread=None):
     """Dense-grid pull, gather-free.
 
     inp: (C, *ishape); grid: (*ishape, D) with samples within
     ``max_disp`` voxels of their own site.  Returns (C, *ishape).
+
+    ``spread``: opt-in adaptive per-tile windows on the Pallas tier
+    (see pallas_warp.warp_pallas); the XLA formulation ignores it
+    (full window — a superset, identical for contract-honoring grids).
     """
-    return _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp)
+    return _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+                      spread)
 
 
 def _window_geom(orders, max_disp, D):
@@ -217,8 +223,23 @@ def _push_kernel_fits(orders, max_disp):
     return max(S) <= 24
 
 
+def _pull_kernel_fits(orders, max_disp, spread):
+    """Compiled-footprint guard for the fused pull/grad kernel: the
+    fully unrolled S^3 accumulation spills ~S^3/250 MB of VMEM stack;
+    span 20 (max_disp=8 cubic) exceeded the 16 MB scoped limit on v5e,
+    span 14 (order-5 x max_disp-4) compiles.  Wider windows fall back
+    to the XLA formulation — or better, pass ``tile_spread`` (adaptive
+    per-tile windows), whose span depends on the field's smoothness
+    instead of max_disp."""
+    eff = spread if spread is not None else max_disp
+    md = _md_tuple(eff, len(orders))
+    S = [r[1] - r[0] + 1
+         for r in (window_range(o, m) for o, m in zip(orders, md))]
+    return max(S) <= 14
+
+
 def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
-                 value, grad):
+                 value, grad, spread=None):
     """Dispatch into the 3-D Pallas kernel; 2-D warps are lifted with a
     dummy leading axis (order 0, zero displacement, window span 1 — no
     extra compute)."""
@@ -227,12 +248,15 @@ def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
     md = _md_tuple(max_disp, D)
     if D == 3:
         return warp_pallas(inp, grid, tuple(orders), tuple(bounds),
-                           extrapolate, md, value=value, grad=grad)
+                           extrapolate, md, value=value, grad=grad,
+                           spread=spread)
     zeros = jnp.zeros(grid.shape[:-1] + (1,), grid.dtype)
     grid3 = jnp.concatenate([zeros, grid], axis=-1)[None]
+    sp3 = None if spread is None else (0.0,) + _md_tuple(spread, D)
     val, g = warp_pallas(inp[:, None], grid3, (0,) + tuple(orders),
                          (1,) + tuple(bounds), extrapolate, (0.0,) + md,
-                         value=value, grad=grad, tile=(1, 8, 128))
+                         value=value, grad=grad, spread=sp3,
+                         tile=(1, 8, 128))
     if val is not None:
         val = val[:, 0]
     if g is not None:
@@ -240,12 +264,14 @@ def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
     return val, g
 
 
-def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp):
+def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+               spread=None):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
-    if _should_pallas(ishape):
+    if _should_pallas(ishape) and _pull_kernel_fits(orders, max_disp,
+                                                    spread):
         val, _ = _pallas_warp(inp, grid, orders, bounds, extrapolate,
-                              max_disp, True, False)
+                              max_disp, True, False, spread)
         return val
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -259,16 +285,18 @@ def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     return out
 
 
-def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp):
+def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+               spread=None):
     """(C, *ishape, D) spatial gradients of the spline surface."""
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
-    if _should_pallas(ishape):
+    if _should_pallas(ishape) and _pull_kernel_fits(orders, max_disp,
+                                                    spread):
         # fused kernel: all derivative fields from one pass over the
         # shift window (the boundary-folded pad already carries the
         # signs, so it serves gradients too)
         _, g = _pallas_warp(inp, grid, orders, bounds, extrapolate,
-                            max_disp, False, True)
+                            max_disp, False, True, spread)
         return g
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -361,15 +389,20 @@ def _fold_pad_margins(acc, ishape, bounds, lo, hi, wdtype):
 # ------------------------------------------------------------ VJP wiring
 # (mirrors ops/pushpull.py / reference pushpull.py:237-282)
 
-def _pull_fwd(inp, grid, orders, bounds, extrapolate, max_disp):
-    return _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp), \
-        (inp, grid)
+def _pull_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
+              spread=None):
+    return _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+                      spread), (inp, grid)
 
 
-def _pull_bwd(orders, bounds, extrapolate, max_disp, res, ct):
+def _pull_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
     inp, grid = res
+    # d_inp via the full-window push: the exact adjoint of the
+    # full-window pull, which the adaptive pull equals for
+    # contract-honoring grids (the documented semantics)
     d_inp = push_window(ct, grid, orders, bounds, extrapolate, max_disp)
-    g = grad_window(inp, grid, orders, bounds, extrapolate, max_disp)
+    g = grad_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                    spread)
     d_grid = (g * ct[..., None]).sum(axis=0)
     return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype))
 
@@ -399,7 +432,9 @@ def _push_bwd(orders, bounds, extrapolate, max_disp, res, ct):
 push_window.defvjp(_push_fwd, _push_bwd)
 
 
-def grad_window(inp, grid, orders, bounds, extrapolate, max_disp):
+def grad_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                spread=None):
     """Dense-grid spatial gradients (plain jnp: higher orders come from
     native autodiff through the shifted-FMA program)."""
-    return _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp)
+    return _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+                      spread)

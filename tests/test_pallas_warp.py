@@ -151,3 +151,62 @@ def test_anisotropic_max_disp():
                                      tile=(8, 8, 64), interpret=True)
     np.testing.assert_allclose(np.asarray(val), np.asarray(ref),
                                atol=1e-12)
+
+
+def _smooth_case(N=32, md=3.0, seed=9):
+    """Tile-smooth dense warp: displacement constant along z within a
+    tile, slowly varying along x/y — honors a small tile_spread even
+    at large max_disp."""
+    rng = np.random.default_rng(seed)
+    ident = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"),
+                     -1).astype(np.float64)
+    x = np.linspace(0, np.pi / 2, N)     # slow variation: tile-smooth
+    d = np.zeros((N, N, N, 3))
+    d[..., 0] = (md * 0.9 * np.sin(x)).reshape(N, 1, 1)
+    d[..., 1] = (md * 0.9 * np.cos(x)).reshape(1, N, 1)
+    d[..., 2] = (md * 0.9 * np.sin(x + 1)).reshape(N, 1, 1)
+    inp = jnp.asarray(rng.standard_normal((1, N, N, N)))
+    return inp, jnp.asarray(ident + d)
+
+
+def test_adaptive_window_matches_full():
+    """Adaptive per-tile windows agree with the full-window path for
+    contract-honoring (tile-smooth) grids, at a fraction of the window
+    size."""
+    md = 3.0
+    inp, grid = _smooth_case(md=md)
+    o, b = (3,) * 3, (3,) * 3
+    import interpol_tpu
+    sp = interpol_tpu.required_tile_spread(grid[None], tile=(8, 8, 64))
+    assert max(sp) <= 1.5, sp            # the field is tile-smooth
+    assert max(sp) < md                  # adaptivity buys a smaller window
+    ref = window._pull_impl(inp, grid, o, b, 1, md)
+    refg = window._grad_impl(inp, grid, o, b, 1, md)
+    val, g = pallas_warp.warp_pallas(inp, grid, o, b, 1, md,
+                                     value=True, grad=True,
+                                     spread=(1.5, 1.5, 1.5),
+                                     tile=(8, 8, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(refg),
+                               atol=1e-12)
+
+
+def test_adaptive_vjp_consistent():
+    """value_and_grad through the adaptive pull equals the full-window
+    gradients for contract-honoring grids."""
+    md = 2.5
+    inp, grid = _smooth_case(N=16, md=md)
+    o, b = (3,) * 3, (3,) * 3
+    from interpol_tpu import backend
+
+    def loss(g2, spread):
+        return (window.pull_window(inp, g2, o, b, 1, md, spread) ** 2).sum()
+
+    with __import__("jax").experimental.pallas.tpu.\
+            force_tpu_interpret_mode(), backend.use_backend("pallas"):
+        l_a, g_a = jax.value_and_grad(loss)(grid, (1.5, 1.5, 1.5))
+    l_f, g_f = jax.value_and_grad(loss)(grid, None)
+    np.testing.assert_allclose(float(l_a), float(l_f), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_f),
+                               atol=1e-9)
