@@ -32,6 +32,13 @@ class WarpModel(NamedTuple):
     max_disp: float = 4.0           # displacement clamp (voxels) — keeps
     # the warp diffeomorphic-ish AND satisfies the windowed fast path's
     # bounded-displacement contract
+    tile_spread: Tuple[float, ...] = None   # opt-in adaptive per-tile
+    # windows (api.grid_pull tile_spread): the warp cost becomes
+    # independent of max_disp when the flow is tile-smooth.  Fields
+    # upsampled from coarse control points are smooth by construction;
+    # validate a representative flow with api.required_tile_spread
+    # before enabling (the contract spans the kernel's 128-lane tile
+    # extent on the last axis).
 
     def init_params(self, batch: int, dtype=jnp.float32):
         """Zero displacement control points: (B, *coarse_shape, D)."""
@@ -61,7 +68,8 @@ class WarpModel(NamedTuple):
         flow = self.dense_flow(params)
         return grid_pull(moving, flow, interpolation=self.interpolation,
                          bound=self.bound, extrapolate=True,
-                         max_disp=self.max_disp)
+                         max_disp=self.max_disp,
+                         tile_spread=self.tile_spread)
 
 
 def mse_loss(model: WarpModel, params, moving, fixed):

@@ -158,8 +158,9 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     x0, y0, z0 = ix * TX, iy * TY, iz * TZ
 
     if adaptive:
-        bx, by, bz = bx_ref[ix, iy, iz], by_ref[ix, iy, iz], \
-            bz_ref[ix, iy, iz]
+        nty, ntz = pl.num_programs(2), pl.num_programs(3)
+        flat = (ix * nty + iy) * ntz + iz
+        bx, by, bz = bx_ref[flat], by_ref[flat], bz_ref[flat]
         # fetch origins in padded coords (pad lo = margin - smin, so the
         # window origin is x0 + margin + b); y/z align down, the
         # residue is rolled off after the DMA
@@ -361,7 +362,8 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                 ntiles[0], tile[0], ntiles[1], tile[1],
                 ntiles[2], tile[2]).mean(axis=(1, 3, 5))
             B = int(math.ceil(md[d]))
-            bs.append(jnp.clip(jnp.round(m), -B, B).astype(jnp.int32))
+            bs.append(jnp.clip(jnp.round(m), -B, B)
+                      .astype(jnp.int32).reshape(-1))
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,

@@ -50,7 +50,7 @@ def done_keys():
         for line in open(OUT):
             try:
                 e = json.loads(line)
-                if e.get("harness") == "slope_fori_r2":
+                if e.get("harness") == "slope_fori_r2" and "error" not in e:
                     keys.add(e["key"])
             except Exception:
                 pass
@@ -91,6 +91,28 @@ def bench_op(op, n, order, dtype_name, max_disp=2.0):
                     + (1e-6 * (g[..., 1] + g[..., 2])).astype(dtype),
                     c[1])
     dt, _ = slope_time(body, (vol, grid))
+    return dt
+
+
+def bench_adaptive(n, md):
+    """Adaptive per-tile windows on a tile-smooth field (spread 0.75)."""
+    from interpol_tpu.ops import window as wdm
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal((1, n, n, n)).astype(np.float32))
+    ident = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
+                     -1).astype(np.float32)
+    x = np.linspace(0, np.pi / 2, n)
+    d = np.zeros((n, n, n, 3), np.float32)
+    d[..., 0] = (md * 0.9 * np.sin(x)).reshape(n, 1, 1)
+    d[..., 1] = (md * 0.9 * np.cos(x)).reshape(1, n, 1)
+    d[..., 2] = (md * 0.9 * np.sin(x + 1)).reshape(n, 1, 1)
+    grid = jnp.asarray(ident + d)
+    o, b = (3,) * 3, (3,) * 3
+    sp = (0.75, 0.75, 0.75)
+    dt, _ = slope_time(
+        lambda c: (wdm.pull_window(c[0], c[1], o, b, 1, float(md), sp),
+                   c[1]),
+        (vol, grid), R1=2, R2=42)
     return dt
 
 
@@ -146,6 +168,23 @@ def main():
             continue
         record({"key": key, "op": op, "size": n, "order": order,
                 "dtype": dt, "ms": round(secs * 1e3, 3),
+                "gvox_s": round(n ** 3 / secs / 1e9, 4),
+                "health_s": round(h, 2)})
+
+    for n, md in ([] if mode == "quick" else [(128, 4.0), (128, 8.0),
+                                              (256, 4.0)]):
+        key = f"pull_adaptive_{n}_md{int(md)}"
+        if key in skip:
+            continue
+        try:
+            h = wait_healthy()
+            secs = bench_adaptive(n, md)
+        except Exception as e:
+            record({"key": key, "error": str(e)[:200]})
+            continue
+        record({"key": key, "op": "pull_adaptive", "size": n,
+                "max_disp": md, "spread": 0.75, "order": 3,
+                "dtype": "fp32", "ms": round(secs * 1e3, 3),
                 "gvox_s": round(n ** 3 / secs / 1e9, 4),
                 "health_s": round(h, 2)})
 
