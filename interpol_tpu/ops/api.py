@@ -153,7 +153,7 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
 
     if classes is not None or not jnp.issubdtype(input.dtype, jnp.inexact):
         return _label_pull(input, grid, orders, bounds, ex, prefilter,
-                           classes)
+                           classes, max_disp, tile_spread)
 
     grid, inp, info = _preproc(grid, input)
     if prefilter:
@@ -198,10 +198,13 @@ def required_tile_spread(grid, tile=(8, 8, 128)):
     return tuple(out)
 
 
-def _label_pull(input, grid, orders, bounds, ex, prefilter, classes):
+def _label_pull(input, grid, orders, bounds, ex, prefilter, classes,
+                max_disp=None, tile_spread=None):
     """Soft-resample each label and reconstruct by argmax
     (reference api.py:194-205; fixes the reference's bug where prefilter
-    output clobbered the label volume instead of the soft map)."""
+    output clobbered the label volume instead of the soft map).
+    ``max_disp``/``tile_spread`` enable the windowed fast path per
+    class."""
     if classes is None:
         classes = np.unique(np.asarray(jax.device_get(input))).tolist()
     grid, inp, info = _preproc(grid, input)
@@ -211,11 +214,16 @@ def _label_pull(input, grid, orders, bounds, ex, prefilter, classes):
     oshape = inp.shape[:2] + grid.shape[1:-1]
     out = jnp.zeros(oshape, dtype=input.dtype)
     pmax = jnp.zeros(oshape, dtype=fdtype)
+    windowed = _use_window(max_disp, grid, inp)
     for label in classes:
         soft = (inp == label).astype(fdtype)
         if prefilter:
             soft = _coeff.spline_coeff_nd(soft, orders, bounds, D)
-        soft = _pp.pull(soft, grid, orders, bounds, ex)
+        if windowed:
+            soft = _window_pull_dispatch(soft, grid, orders, bounds, ex,
+                                         max_disp, tile_spread)
+        else:
+            soft = _pp.pull(soft, grid, orders, bounds, ex)
         out = jnp.where(soft > pmax, jnp.asarray(label, input.dtype), out)
         pmax = jnp.maximum(pmax, soft)
     return _postproc(out, info, "pull")

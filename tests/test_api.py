@@ -302,3 +302,18 @@ class TestComputeDtypePolicy:
         # bf16 has ~8 bits of mantissa: inputs were rounded to bf16, so
         # allow a few ulp of headroom over 2^-8
         assert np.abs(out.astype(np.float32) - ref).max() <= 0.1 * scale
+
+
+def test_label_pull_windowed_matches_gather():
+    """Label maps with max_disp ride the windowed fast path per class
+    and must match the gather path."""
+    rng = np.random.default_rng(11)
+    lab = jnp.asarray(rng.integers(0, 4, (1, 12, 10)), dtype=jnp.int32)
+    ident = np.stack(np.meshgrid(np.arange(12), np.arange(10),
+                                 indexing="ij"), -1).astype(np.float64)
+    grid = jnp.asarray(ident + rng.uniform(-1.2, 1.2, ident.shape))[None]
+    ref = itp.grid_pull(lab, grid, interpolation=1, bound="dct2",
+                        extrapolate=True)
+    out = itp.grid_pull(lab, grid, interpolation=1, bound="dct2",
+                        extrapolate=True, max_disp=1.2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
