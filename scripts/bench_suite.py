@@ -116,6 +116,21 @@ def bench_adaptive(n, md):
     return dt
 
 
+def bench_resize(n, factor=2):
+    """Separable MXU resize: upsample n^3 -> (factor*n)^3 (cubic,
+    prefilter)."""
+    from interpol_tpu.ops.resize import resize
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal((1, 1, n, n, n))
+                      .astype(np.float32))
+    dt, _ = slope_time(
+        lambda c: (resize(c[0], factor=[factor] * 3, interpolation=3,
+                          prefilter=True)[..., :n, :n, :n] * (1 / factor),
+                   ),
+        (vol,), R1=2, R2=62)
+    return dt
+
+
 def bench_step(n):
     """Full warp-MSE value_and_grad training step (flagship model)."""
     from interpol_tpu.models import WarpModel
@@ -169,6 +184,22 @@ def main():
         record({"key": key, "op": op, "size": n, "order": order,
                 "dtype": dt, "ms": round(secs * 1e3, 3),
                 "gvox_s": round(n ** 3 / secs / 1e9, 4),
+                "health_s": round(h, 2)})
+
+    for n in ([] if mode == "quick" else [128]):
+        key = f"resize_{n}_x2_3_fp32"
+        if key in skip:
+            continue
+        try:
+            h = wait_healthy()
+            secs = bench_resize(n)
+        except Exception as e:
+            record({"key": key, "error": str(e)[:200]})
+            continue
+        nvox = (2 * n) ** 3
+        record({"key": key, "op": "resize_x2", "size": n, "order": 3,
+                "dtype": "fp32", "ms": round(secs * 1e3, 3),
+                "gvox_s": round(nvox / secs / 1e9, 4),
                 "health_s": round(h, 2)})
 
     for n, md in ([] if mode == "quick" else [(128, 4.0), (128, 8.0),
