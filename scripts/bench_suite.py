@@ -116,6 +116,22 @@ def bench_adaptive(n, md):
     return dt
 
 
+def bench_2d(n, order=3, max_disp=2.0):
+    """2-D dense warp through the lifted 3-D kernel (dummy axis)."""
+    from interpol_tpu.ops import window as wdm
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal((1, n, n)).astype(np.float32))
+    ident = np.stack(np.meshgrid(*[np.arange(n)] * 2, indexing="ij"),
+                     -1).astype(np.float32)
+    grid = jnp.asarray(ident + rng.uniform(-max_disp, max_disp,
+                                           ident.shape).astype(np.float32))
+    o, b = (order,) * 2, (3,) * 2
+    dt, _ = slope_time(
+        lambda c: (wdm.pull_window(c[0], c[1], o, b, 1, max_disp), c[1]),
+        (vol, grid), R1=2, R2=42)
+    return dt
+
+
 def bench_resize(n, factor=2):
     """Separable MXU resize: upsample n^3 -> (factor*n)^3 (cubic,
     prefilter)."""
@@ -184,6 +200,21 @@ def main():
         record({"key": key, "op": op, "size": n, "order": order,
                 "dtype": dt, "ms": round(secs * 1e3, 3),
                 "gvox_s": round(n ** 3 / secs / 1e9, 4),
+                "health_s": round(h, 2)})
+
+    for n in ([] if mode == "quick" else [2048]):
+        key = f"pull2d_{n}_3_fp32"
+        if key in skip:
+            continue
+        try:
+            h = wait_healthy()
+            secs = bench_2d(n)
+        except Exception as e:
+            record({"key": key, "error": str(e)[:200]})
+            continue
+        record({"key": key, "op": "pull_2d", "size": n, "order": 3,
+                "dtype": "fp32", "ms": round(secs * 1e3, 3),
+                "gvox_s": round(n ** 2 / secs / 1e9, 4),
                 "health_s": round(h, 2)})
 
     for n in ([] if mode == "quick" else [128]):
