@@ -210,3 +210,27 @@ def test_adaptive_vjp_consistent():
     np.testing.assert_allclose(float(l_a), float(l_f), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_f),
                                atol=1e-9)
+
+
+def test_anisotropic_push_grad():
+    """Per-axis max_disp through push and the fused gradient kernel."""
+    rng = np.random.default_rng(12)
+    ish = (16, 16, 64)
+    inp = jnp.asarray(rng.standard_normal((1,) + ish))
+    ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
+                                 indexing="ij"), -1).astype(np.float64)
+    disp = rng.uniform(-1, 1, ident.shape) * np.array([0.5, 2.0, 1.0])
+    grid = jnp.asarray(ident + disp)
+    o, b = (3,) * 3, (3,) * 3
+    md = (0.5, 2.0, 1.0)
+    refp = window._push_impl(inp, grid, o, b, 1, 2.0)
+    outp = pallas_warp.push_window_pallas(inp, grid, o, b, 1, md,
+                                          tile=(8, 8, 64), interpret=True)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                               atol=1e-12)
+    refg = window._grad_impl(inp, grid, o, b, 1, 2.0)
+    _, g = pallas_warp.warp_pallas(inp, grid, o, b, 1, md, value=False,
+                                   grad=True, tile=(8, 8, 64),
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(refg),
+                               atol=1e-12)
