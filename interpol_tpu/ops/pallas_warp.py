@@ -94,7 +94,7 @@ def _pad_grid_edge(grid, ishape_a):
 
 
 def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
-                 grad=False, base=None):
+                 grad=False, base=None, d0_range=None):
     """In-kernel per-axis coefficient planes.
 
     Returns (weight_planes, grad_planes): lists of S arrays where plane
@@ -112,7 +112,10 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
     d0 = n0f.astype(jnp.int32) - p
     if base is not None:
         d0 = d0 - base
-    d0min, d0max = smin, smax - order
+    # attainable node-origin offsets; chunked sub-windows must pass the
+    # FULL window's bounds or taps at chunk edges are dropped
+    d0min, d0max = d0_range if d0_range is not None \
+        else (smin, smax - order)
     planes_w, planes_g = [], ([] if grad else None)
     zero = jnp.zeros_like(g)
     for s in range(smin, smax + 1):
@@ -133,7 +136,7 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
 
 def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
                  orders, ranges, tile, box_shape, value, grad,
-                 base_margin=None):
+                 base_margin=None, active=None, d0_ranges=None):
     """Fused windowed pull: up to 4 outputs (value, d/dx, d/dy, d/dz)
     from one pass over the shift window.
 
@@ -152,6 +155,12 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
     Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
+    # active shift sub-ranges (wide-window chunking): loop indices
+    # relative to the geometry range; taps outside are another chunk's
+    (ax0, ax1), (ay0, ay1), (az0, az1) = active or ranges
+    kxs = range(ax0 - sx0, ax1 - sx0 + 1)
+    kys = range(ay0 - sy0, ay1 - sy0 + 1)
+    kzs = range(az0 - sz0, az1 - sz0 + 1)
     BXa, BYa, BZa = box_shape
     c = pl.program_id(0)
     ix, iy, iz = pl.program_id(1), pl.program_id(2), pl.program_id(3)
@@ -180,14 +189,25 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     cp = pltpu.make_async_copy(src, box, sem)
     cp.start()
 
-    # coefficient (and derivative) planes overlap the DMA
+    # coefficient (and derivative) planes overlap the DMA; built only
+    # for the ACTIVE shifts, stored at their geometry-range index
     shape = (TX, TY, TZ)
-    cxs, gxs = _coef_planes(gx_ref[0], orders[0], sx0, sx1, x0, 0, shape,
-                            grad=grad, base=bx)
-    cys, gys = _coef_planes(gy_ref[0], orders[1], sy0, sy1, y0, 1, shape,
-                            grad=grad, base=by)
-    czs, gzs = _coef_planes(gz_ref[0], orders[2], sz0, sz1, z0, 2, shape,
-                            grad=grad, base=bz)
+
+    d0r = d0_ranges or (None, None, None)
+
+    def _planes(g_ref, order, a0, a1, s0, org, axis, base, dr):
+        w, gr = _coef_planes(g_ref[0], order, a0, a1, org, axis, shape,
+                             grad=grad, base=base, d0_range=dr)
+        wd = dict(zip(range(a0 - s0, a1 - s0 + 1), w))
+        gd = dict(zip(range(a0 - s0, a1 - s0 + 1), gr)) if grad else None
+        return wd, gd
+
+    cxs, gxs = _planes(gx_ref, orders[0], ax0, ax1, sx0, x0, 0, bx,
+                       d0r[0])
+    cys, gys = _planes(gy_ref, orders[1], ay0, ay1, sy0, y0, 1, by,
+                       d0r[1])
+    czs, gzs = _planes(gz_ref, orders[2], az0, az1, sz0, z0, 2, bz,
+                       d0r[2])
 
     cp.wait()
     bval = box[...]
@@ -203,21 +223,21 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     acc_dy = jnp.zeros(shape, dt) if grad else None
     acc_dz = jnp.zeros(shape, dt) if grad else None
 
-    for ky in range(Sy):
+    for ky in kys:
         ys = bval if ky == 0 else pltpu.roll(bval, BYa - ky, 1)
         ys = ys[:, 0:TY, :]
-        zvals = [ys[:, :, kz:kz + TZ] for kz in range(Sz)]
-        zc = [None] * Sx            # weight z-sums (value, d/dx, d/dy)
-        zg = [None] * Sx            # derivative z-sums (d/dz)
-        for kz in range(Sz):
-            for kx in range(Sx):
+        zvals = {kz: ys[:, :, kz:kz + TZ] for kz in kzs}
+        zc = {kx: None for kx in kxs}   # weight z-sums
+        zg = {kx: None for kx in kxs}   # derivative z-sums (d/dz)
+        for kz in kzs:
+            for kx in kxs:
                 seg = zvals[kz][kx:kx + TX]
                 t = czs[kz] * seg
                 zc[kx] = t if zc[kx] is None else zc[kx] + t
                 if grad:
                     t = gzs[kz] * seg
                     zg[kx] = t if zg[kx] is None else zg[kx] + t
-        for kx in range(Sx):
+        for kx in kxs:
             cc = cxs[kx] * cys[ky]
             if value:
                 acc_v = acc_v + cc * zc[kx]
@@ -235,13 +255,24 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
         ref[0] = acc
 
 
-def _geometry(ishape, orders, max_disp, tile):
-    """Shared box/pad geometry for the warp kernels."""
+def _geometry(ishape, orders, max_disp, tile, ranges_override=None):
+    """Shared box/pad geometry for the warp kernels.
+
+    ``ranges_override``: explicit per-axis (smin, smax) shift ranges,
+    each REQUIRED to contain 0 (the box-origin/pad convention) — used
+    by the wide-window chunking, whose active sub-ranges are narrower
+    than the geometry ranges."""
     D = 3
     from .window import _md_tuple
-    md = _md_tuple(max_disp, D)
-    ranges = tuple(window_range(orders[d], md[d]) for d in range(D))
-    lo, hi = _window_geom(orders, max_disp, D)
+    if ranges_override is not None:
+        ranges = tuple(ranges_override)
+        assert all(r[0] <= 0 <= r[1] for r in ranges), ranges
+        lo = [-r[0] for r in ranges]
+        hi = [r[1] for r in ranges]
+    else:
+        md = _md_tuple(max_disp, D)
+        ranges = tuple(window_range(orders[d], md[d]) for d in range(D))
+        lo, hi = _window_geom(orders, max_disp, D)
     S = tuple(r[1] - r[0] + 1 for r in ranges)
     need = [t + s - 1 for t, s in zip(tile, S)]
     align = (1, 8, 128)
@@ -281,7 +312,8 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                 orders: Tuple[int, ...], bounds: Tuple[int, ...],
                 extrapolate: int, max_disp: float, *,
                 value: bool = True, grad: bool = False,
-                spread=None,
+                spread=None, ranges_override=None, active=None,
+                d0_ranges=None,
                 tile: Tuple[int, int, int] = None,
                 interpret: bool = False):
     """Fused dense-grid 3D pull / spatial gradient on the native tier.
@@ -323,8 +355,9 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
          base_margin) = _geometry_adaptive(ishape, orders, max_disp,
                                            spread, tile)
     else:
-        ranges, lo, hi, S, box_shape = _geometry(ishape, orders,
-                                                 max_disp, tile)
+        ranges, lo, hi, S, box_shape = _geometry(
+            ishape, orders, max_disp, tile,
+            ranges_override=ranges_override)
         base_margin = None
 
     # boundary-folded window pad for the real volume, then zero-extend to
@@ -367,7 +400,8 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
-                     value=value, grad=grad, base_margin=base_margin)
+                     value=value, grad=grad, base_margin=base_margin,
+                     active=active, d0_ranges=d0_ranges)
     gspec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (0, i, j, k),
                          memory_space=pltpu.VMEM)
@@ -427,7 +461,8 @@ def pull_window_pallas(inp, grid, orders, bounds, extrapolate, max_disp,
 # ---------------------------------------------------------------- push
 
 def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
-                 orders, ranges, tile, box_shape):
+                 orders, ranges, tile, box_shape, active=None,
+                 d0_ranges=None):
     """Exact adjoint of the pull kernel's data movement: splat one
     tile's values into its private halo-extended box.
 
@@ -442,30 +477,41 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
     Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
+    (ax0, ax1), (ay0, ay1), (az0, az1) = active or ranges
+    kxs = range(ax0 - sx0, ax1 - sx0 + 1)
+    kys = range(ay0 - sy0, ay1 - sy0 + 1)
+    kzs = range(az0 - sz0, az1 - sz0 + 1)
+    d0r = d0_ranges or (None, None, None)
     BXa, BYa, BZa = box_shape
     x0 = pl.program_id(1) * TX
     y0 = pl.program_id(2) * TY
     z0 = pl.program_id(3) * TZ
 
     shape = (TX, TY, TZ)
-    cxs, _ = _coef_planes(gx_ref[0], orders[0], sx0, sx1, x0, 0, shape)
-    cys, _ = _coef_planes(gy_ref[0], orders[1], sy0, sy1, y0, 1, shape)
-    czs, _ = _coef_planes(gz_ref[0], orders[2], sz0, sz1, z0, 2, shape)
+    cxs, _ = _coef_planes(gx_ref[0], orders[0], ax0, ax1, x0, 0, shape,
+                          d0_range=d0r[0])
+    cys, _ = _coef_planes(gy_ref[0], orders[1], ay0, ay1, y0, 1, shape,
+                          d0_range=d0r[1])
+    czs, _ = _coef_planes(gz_ref[0], orders[2], az0, az1, z0, 2, shape,
+                          d0_range=d0r[2])
+    cxs = dict(zip(kxs, cxs))
+    cys = dict(zip(kys, cys))
+    czs = dict(zip(kzs, czs))
 
     val = val_ref[0]
     # z-weighted values, shared across (kx, ky)
-    vzs = [czs[kz] * val for kz in range(Sz)]
+    vzs = {kz: czs[kz] * val for kz in kzs}
 
     zpad = BZa - TZ
     ypad = BYa - TY
     acc = None                              # (BXa, BYa, BZa) value
-    for ky in range(Sy):
-        cxys = [cxs[kx] * cys[ky] for kx in range(Sx)]
+    for ky in kys:
+        cxys = {kx: cxs[kx] * cys[ky] for kx in kxs}
         wk = None                           # (BXa, TY, BZa) value
-        for kz in range(Sz):
+        for kz in kzs:
             # x-placed rows: rows[u] = sum_{kx: u-kx in tile} cxy*vz
             rows = [None] * BXa
-            for kx in range(Sx):
+            for kx in kxs:
                 wxy = cxys[kx] * vzs[kz]              # (TX, TY, TZ)
                 for x in range(TX):
                     u = x + kx
@@ -479,6 +525,8 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
         wk = jnp.pad(wk, ((0, 0), (0, ypad), (0, 0)))
         wk = wk if ky == 0 else pltpu.roll(wk, ky, 1)    # y-place
         acc = wk if acc is None else acc + wk
+    if acc is None:
+        acc = jnp.zeros((BXa, BYa, BZa), val.dtype)
     box_out[0, 0, 0, 0] = acc
 
 
@@ -486,7 +534,8 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                        orders: Tuple[int, ...], bounds: Tuple[int, ...],
                        extrapolate: int, max_disp: float,
                        tile: Tuple[int, int, int] = None,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False, ranges_override=None,
+                       active=None, d0_ranges=None) -> jnp.ndarray:
     """Dense-grid 3D push (exact adjoint of the pull kernel).
 
     inp: (C, *ishape) values at grid sites; grid: (*ishape, 3).
@@ -506,8 +555,8 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
-    ranges, lo, hi, S, box_shape = _geometry(ishape, orders, max_disp,
-                                             tile)
+    ranges, lo, hi, S, box_shape = _geometry(
+        ishape, orders, max_disp, tile, ranges_override=ranges_override)
 
     # extrapolation mask applies to the *values* before splatting
     vals = inp.astype(wdtype)
@@ -526,7 +575,8 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     pshape = tuple(a + l + h for a, l, h in zip(ishape_a, lo, hi))
 
     kernel = partial(_push_kernel, orders=tuple(orders), ranges=ranges,
-                     tile=tuple(tile), box_shape=box_shape)
+                     tile=tuple(tile), box_shape=box_shape,
+                     active=active, d0_ranges=d0_ranges)
     gspec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (0, i, j, k),
                          memory_space=pltpu.VMEM)

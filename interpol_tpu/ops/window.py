@@ -212,30 +212,43 @@ def _should_pallas(ishape) -> bool:
     return eligible and jax.default_backend() == "tpu"
 
 
-def _push_kernel_fits(orders, max_disp):
-    """Compiled-footprint guard for the push kernel.  The round-2
-    transposed-placement kernel compiles well past round 1's span-12
-    ceiling (order-7 at max_disp=4 is span 19, on-chip verified); keep
-    a generous guard for pathological windows."""
-    md = _md_tuple(max_disp, len(orders))
-    S = [r[1] - r[0] + 1
-         for r in (window_range(o, m) for o, m in zip(orders, md))]
-    return max(S) <= 24
 
 
-def _pull_kernel_fits(orders, max_disp, spread):
-    """Compiled-footprint guard for the fused pull/grad kernel: the
-    fully unrolled S^3 accumulation spills ~S^3/250 MB of VMEM stack;
-    span 20 (max_disp=8 cubic) exceeded the 16 MB scoped limit on v5e,
-    span 14 (order-5 x max_disp-4) compiles.  Wider windows fall back
-    to the XLA formulation — or better, pass ``tile_spread`` (adaptive
-    per-tile windows), whose span depends on the field's smoothness
-    instead of max_disp."""
-    eff = spread if spread is not None else max_disp
-    md = _md_tuple(eff, len(orders))
-    S = [r[1] - r[0] + 1
-         for r in (window_range(o, m) for o, m in zip(orders, md))]
-    return max(S) <= 14
+
+# Widest shift span the fused kernel unrolls in one launch: the S^3
+# accumulation spills ~S^3/250 MB of VMEM stack; span 20 (max_disp=8
+# cubic) exceeded the 16 MB scoped limit on v5e, span 14 (order-5 x
+# max_disp-4) compiles.  Wider windows are CHUNKED: exact sub-range
+# launches that sum (same total tap count; each launch's geometry
+# range is its active range widened to contain 0, preserving the
+# box-origin/pad/DMA-alignment convention).
+_SPAN_CAP = 14
+_PUSH_SPAN_CAP = 19   # transposed-placement push compiles to span 19
+
+
+def _range_chunks(r, cap):
+    smin, smax = r
+    out = []
+    s = smin
+    while s <= smax:
+        out.append((s, min(s + cap - 1, smax)))
+        s += cap
+    return out
+
+
+def _chunk_calls(orders, md, cap):
+    """(geometry_ranges, active_ranges, d0_ranges) per chunked launch,
+    or None when the full window fits one launch."""
+    import itertools
+    full = tuple(window_range(o, m) for o, m in zip(orders, md))
+    if max(r[1] - r[0] + 1 for r in full) <= cap:
+        return None
+    d0_ranges = tuple((r[0], r[1] - o) for r, o in zip(full, orders))
+    calls = []
+    for sub in itertools.product(*[_range_chunks(r, cap) for r in full]):
+        geo = tuple((min(a0, 0), max(a1, 0)) for a0, a1 in sub)
+        calls.append((geo, sub, d0_ranges))
+    return calls
 
 
 def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
@@ -247,6 +260,21 @@ def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
     D = grid.shape[-1]
     md = _md_tuple(max_disp, D)
     if D == 3:
+        chunks = None if spread is not None else \
+            _chunk_calls(orders, md, _SPAN_CAP)
+        if chunks is not None:
+            val = g = None
+            for geo, sub, d0r in chunks:
+                v, gg = warp_pallas(inp, grid, tuple(orders),
+                                    tuple(bounds), extrapolate, md,
+                                    value=value, grad=grad,
+                                    ranges_override=geo, active=sub,
+                                    d0_ranges=d0r)
+                if value:
+                    val = v if val is None else val + v
+                if grad:
+                    g = gg if g is None else g + gg
+            return val, g
         return warp_pallas(inp, grid, tuple(orders), tuple(bounds),
                            extrapolate, md, value=value, grad=grad,
                            spread=spread)
@@ -268,8 +296,7 @@ def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp,
                spread=None):
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
-    if _should_pallas(ishape) and _pull_kernel_fits(orders, max_disp,
-                                                    spread):
+    if _should_pallas(ishape):
         val, _ = _pallas_warp(inp, grid, orders, bounds, extrapolate,
                               max_disp, True, False, spread)
         return val
@@ -290,8 +317,7 @@ def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp,
     """(C, *ishape, D) spatial gradients of the spline surface."""
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
-    if _should_pallas(ishape) and _pull_kernel_fits(orders, max_disp,
-                                                    spread):
+    if _should_pallas(ishape):
         # fused kernel: all derivative fields from one pass over the
         # shift window (the boundary-folded pad already carries the
         # signs, so it serves gradients too)
@@ -323,10 +349,20 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
     """
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
-    if _should_pallas(ishape) and _push_kernel_fits(orders, max_disp):
+    if _should_pallas(ishape):
         from .pallas_warp import push_window_pallas
         md = _md_tuple(max_disp, D)
         if D == 3:
+            chunks = _chunk_calls(orders, md, _PUSH_SPAN_CAP)
+            if chunks is not None:
+                out = None
+                for geo, sub, d0r in chunks:
+                    o3 = push_window_pallas(
+                        inp, grid, tuple(orders), tuple(bounds),
+                        extrapolate, md, ranges_override=geo,
+                        active=sub, d0_ranges=d0r)
+                    out = o3 if out is None else out + o3
+                return out
             return push_window_pallas(inp, grid, tuple(orders),
                                       tuple(bounds), extrapolate, md)
         if D == 2:

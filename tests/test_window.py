@@ -157,3 +157,38 @@ def test_warp_model_trains():
         params, loss = train_step(model, params, moving, fixed, lr=1.0)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_wide_window_chunking_exact(monkeypatch):
+    """Windows wider than the kernel's unroll cap split into exact
+    sub-range launches that sum: forcing a tiny cap must reproduce the
+    single-launch results bit-for-bit in exact arithmetic."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from interpol_tpu import backend
+    from interpol_tpu.ops import window as wd
+
+    rng = np.random.default_rng(13)
+    ish = (16, 16, 64)
+    inp = jnp.asarray(rng.standard_normal((1,) + ish))
+    ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
+                                 indexing="ij"), -1).astype(np.float64)
+    grid = jnp.asarray(ident + rng.uniform(-2, 2, ident.shape))
+    o, b = (3,) * 3, (3,) * 3
+
+    ref = wd._pull_impl(inp, grid, o, b, 1, 2.0)     # XLA full window
+    refg = wd._grad_impl(inp, grid, o, b, 1, 2.0)
+    refp = wd._push_impl(inp, grid, o, b, 1, 2.0)
+    monkeypatch.setattr(wd, "_SPAN_CAP", 4)          # S=8 -> 2 chunks/axis
+    monkeypatch.setattr(wd, "_PUSH_SPAN_CAP", 5)
+    with backend.use_backend("pallas"), \
+            pltpu.force_tpu_interpret_mode():
+        out = wd._pull_impl(inp, grid, o, b, 1, 2.0)
+        outg = wd._grad_impl(inp, grid, o, b, 1, 2.0)
+        outp = wd._push_impl(inp, grid, o, b, 1, 2.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                               atol=1e-12)
