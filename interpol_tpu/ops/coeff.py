@@ -53,6 +53,7 @@ this one is exact — verified by the adjoint-identity test.
 """
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Sequence, Tuple
@@ -303,14 +304,11 @@ def _filter_matrix_np(n: int, order: int, btype: str):
     return x
 
 
-_MATRIX_CACHE = {}
-
-
+# bounded host-memory cache: each (n, n) f64 entry is up to 32 MB at
+# n=2048, and pyramid workloads sweep many axis lengths — evict LRU
+@functools.lru_cache(maxsize=32)
 def _filter_matrix(n: int, order: int, btype: str):
-    key = (n, order, btype)
-    if key not in _MATRIX_CACHE:
-        _MATRIX_CACHE[key] = _filter_matrix_np(n, order, btype)
-    return _MATRIX_CACHE[key]
+    return _filter_matrix_np(n, order, btype)
 
 
 # ------------------------------------------------- blocked recurrence

@@ -42,6 +42,26 @@ def _flat_grid(grid: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
     return grid.reshape(grid.shape[0], -1, D), oshape
 
 
+def _scattered_ok(D: int, P: int) -> bool:
+    """Route the pull family through the scattered native tier
+    (ops/scattered.py) when the backend and problem shape warrant it.
+
+    The documented density/size threshold for the ``auto`` backend:
+    3-D, at least ``scattered.MIN_POINTS`` sample points (below that
+    the tier's fixed sort + box-table costs exceed the XLA gather), on
+    a real TPU.  ``pallas`` forces the tier (any P); ``xla`` never
+    uses it."""
+    from .. import backend as _backend
+
+    be = _backend.get_backend()
+    if be == "xla" or D != 3:
+        return False
+    if be == "pallas":
+        return True
+    from .scattered import MIN_POINTS
+    return P >= MIN_POINTS and jax.default_backend() == "tpu"
+
+
 # ---------------------------------------------------------------- pull
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -52,14 +72,26 @@ def pull(inp, grid, orders, bounds, extrapolate):
 
 def _pull_impl(inp, grid, orders, bounds, extrapolate):
     gflat, oshape = _flat_grid(grid)
-    core = partial(nd.pull_core, orders=orders, bounds=bounds,
-                   extrapolate=extrapolate)
-    out = jax.vmap(core)(inp, gflat)                 # (B, C, P)
+    if _scattered_ok(grid.shape[-1], gflat.shape[1]):
+        from .scattered import pull_scattered
+        # static Python loop over B (usually 1): keeps the tier's
+        # exact-fallback cond un-vmapped (vmapping a cond turns it into
+        # a select that would always pay the fallback)
+        out = jnp.stack([
+            pull_scattered(inp[b], gflat[b], orders, bounds, extrapolate)
+            for b in range(inp.shape[0])])
+    else:
+        core = partial(nd.pull_core, orders=orders, bounds=bounds,
+                       extrapolate=extrapolate)
+        out = jax.vmap(core)(inp, gflat)             # (B, C, P)
     return out.reshape(out.shape[:2] + oshape)
 
 
 def _pull_fwd(inp, grid, orders, bounds, extrapolate):
-    return _pull_impl(inp, grid, orders, bounds, extrapolate), (inp, grid)
+    # fwd re-calls the wrapped op (not the raw impl): jax.vjp inlines
+    # fwd into the primal graph, and only the wrapped call keeps the
+    # custom rule available to an outer (second-order) differentiation
+    return pull(inp, grid, orders, bounds, extrapolate), (inp, grid)
 
 
 def _pull_bwd(orders, bounds, extrapolate, res, ct):
@@ -93,7 +125,7 @@ def _push_impl(inp, grid, oshape, orders, bounds, extrapolate):
 
 
 def _push_fwd(inp, grid, oshape, orders, bounds, extrapolate):
-    return _push_impl(inp, grid, oshape, orders, bounds, extrapolate), \
+    return push(inp, grid, oshape, orders, bounds, extrapolate), \
         (inp, grid)
 
 
@@ -124,7 +156,7 @@ def _count_impl(grid, oshape, orders, bounds, extrapolate):
 
 
 def _count_fwd(grid, oshape, orders, bounds, extrapolate):
-    return _count_impl(grid, oshape, orders, bounds, extrapolate), (grid,)
+    return count(grid, oshape, orders, bounds, extrapolate), (grid,)
 
 
 def _count_bwd(oshape, orders, bounds, extrapolate, res, ct):
@@ -146,14 +178,20 @@ def grad(inp, grid, orders, bounds, extrapolate):
 
 def _grad_impl(inp, grid, orders, bounds, extrapolate):
     gflat, oshape = _flat_grid(grid)
-    core = partial(nd.grad_core, orders=orders, bounds=bounds,
-                   extrapolate=extrapolate)
-    out = jax.vmap(core)(inp, gflat)                  # (B, C, P, D)
+    if _scattered_ok(grid.shape[-1], gflat.shape[1]):
+        from .scattered import grad_scattered
+        out = jnp.stack([
+            grad_scattered(inp[b], gflat[b], orders, bounds, extrapolate)
+            for b in range(inp.shape[0])])
+    else:
+        core = partial(nd.grad_core, orders=orders, bounds=bounds,
+                       extrapolate=extrapolate)
+        out = jax.vmap(core)(inp, gflat)              # (B, C, P, D)
     return out.reshape(out.shape[:2] + oshape + out.shape[-1:])
 
 
 def _grad_fwd(inp, grid, orders, bounds, extrapolate):
-    return _grad_impl(inp, grid, orders, bounds, extrapolate), (inp, grid)
+    return grad(inp, grid, orders, bounds, extrapolate), (inp, grid)
 
 
 def _grad_bwd(orders, bounds, extrapolate, res, ct):

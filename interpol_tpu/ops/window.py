@@ -45,7 +45,8 @@ from .bounds import fold_index, fold_sign
 from .ndkernels import inbounds_mask
 from .splines import bspline_taps, node_origin
 
-__all__ = ["window_range", "pull_window", "push_window", "grad_window"]
+__all__ = ["window_range", "pull_window", "push_window", "grad_window",
+           "pushgrad_window", "hess_window"]
 
 
 def window_range(order: int, max_disp: float) -> Tuple[int, int]:
@@ -104,25 +105,33 @@ def _pad_folded(inp: jnp.ndarray, ishape, bounds, lo: Sequence[int],
     return out
 
 
-def _coef_fields(grid, ishape, orders, max_disp, wdtype, deriv_axis=None):
+def _coef_fields(grid, ishape, orders, max_disp, wdtype, deriv_axis=None,
+                 deriv_axes=None, deriv2_axis=None):
     """Per-axis coefficient fields.
 
     Returns (ranges, coefs): ranges[d] = (smin, smax); coefs[d] is a list
     of len (smax-smin+1) arrays shaped like the volume, where coefs[d][k]
     is the weight this sample contributes at relative shift smin+k along
-    axis d.  ``deriv_axis`` selects the derivative factors on that axis.
+    axis d.  ``deriv_axis`` selects first-derivative factors on one axis;
+    ``deriv_axes`` (tuple) on several; ``deriv2_axis`` selects the
+    second-derivative factor (mixed second derivatives use ``deriv_axes``
+    with two entries — the separable product of two first derivatives).
     """
     D = grid.shape[-1]
     md = _md_tuple(max_disp, D)
+    dax = set(deriv_axes or ())
+    if deriv_axis is not None:
+        dax.add(deriv_axis)
     ranges, coefs = [], []
     for d in range(D):
         g = grid[..., d].astype(wdtype)
         order = orders[d]
         smin, smax = window_range(order, md[d])
         n0, t = node_origin(g, order)
-        need_grad = (deriv_axis == d)
-        w, gr, _ = bspline_taps(t, order, grad=need_grad)
-        taps = gr if need_grad else w
+        need_grad = d in dax
+        need_hess = (deriv2_axis == d)
+        w, gr, he = bspline_taps(t, order, grad=need_grad, hess=need_hess)
+        taps = he if need_hess else (gr if need_grad else w)
         # delta0 = n0 - p  (p = own voxel index along axis d)
         p = jax.lax.broadcasted_iota(jnp.int32, g.shape, d)
         d0 = n0 - p
@@ -224,6 +233,10 @@ def _should_pallas(ishape) -> bool:
 # box-origin/pad/DMA-alignment convention).
 _SPAN_CAP = 14
 _PUSH_SPAN_CAP = 19   # transposed-placement push compiles to span 19
+# The adaptive kernel carries extra VMEM (alignment-slop box margins,
+# dynamic de-residue rolls): spans (13,13,14) measured 17.98M scoped
+# VMEM on v5e (limit 16M), so its chunking cap sits lower.
+_ADAPTIVE_SPAN_CAP = 12
 
 
 def _range_chunks(r, cap):
@@ -236,11 +249,13 @@ def _range_chunks(r, cap):
     return out
 
 
-def _chunk_calls(orders, md, cap):
-    """(geometry_ranges, active_ranges, d0_ranges) per chunked launch,
-    or None when the full window fits one launch."""
+def _chunk_ranges(full, orders, cap):
+    """(geometry_ranges, active_ranges, d0_ranges) per chunked launch
+    for explicit full per-axis shift ranges, or None when the full
+    window fits one launch.  Used for both the plain window (ranges
+    from max_disp) and the adaptive residual window (ranges from
+    tile_spread)."""
     import itertools
-    full = tuple(window_range(o, m) for o, m in zip(orders, md))
     if max(r[1] - r[0] + 1 for r in full) <= cap:
         return None
     d0_ranges = tuple((r[0], r[1] - o) for r, o in zip(full, orders))
@@ -249,6 +264,12 @@ def _chunk_calls(orders, md, cap):
         geo = tuple((min(a0, 0), max(a1, 0)) for a0, a1 in sub)
         calls.append((geo, sub, d0_ranges))
     return calls
+
+
+def _chunk_calls(orders, md, cap):
+    """Chunking triples for the plain (max_disp-sized) window."""
+    full = tuple(window_range(o, m) for o, m in zip(orders, md))
+    return _chunk_ranges(full, orders, cap)
 
 
 def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
@@ -260,14 +281,21 @@ def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
     D = grid.shape[-1]
     md = _md_tuple(max_disp, D)
     if D == 3:
-        chunks = None if spread is not None else \
-            _chunk_calls(orders, md, _SPAN_CAP)
+        if spread is not None:
+            # a residual window wider than the single-launch VMEM cap is
+            # CHUNKED exactly like the plain window: sub-range launches
+            # over the residual shifts that sum (same per-tile base)
+            sp = _md_tuple(spread, D)
+            res = tuple(window_range(o, s) for o, s in zip(orders, sp))
+            chunks = _chunk_ranges(res, orders, _ADAPTIVE_SPAN_CAP)
+        else:
+            chunks = _chunk_calls(orders, md, _SPAN_CAP)
         if chunks is not None:
             val = g = None
             for geo, sub, d0r in chunks:
                 v, gg = warp_pallas(inp, grid, tuple(orders),
                                     tuple(bounds), extrapolate, md,
-                                    value=value, grad=grad,
+                                    value=value, grad=grad, spread=spread,
                                     ranges_override=geo, active=sub,
                                     d0_ranges=d0r)
                 if value:
@@ -422,13 +450,93 @@ def _fold_pad_margins(acc, ishape, bounds, lo, hi, wdtype):
     return out
 
 
+# --------------------------------------- second-order windowed primitives
+# These serve grad_window's backward (mirroring ops/pushpull.py's
+# pushgrad/hess, reference interpol/pushpull.py:176-233, 303-325) and are
+# plain jnp shifted-FMA programs: JAX differentiates their slices and
+# static scatter-adds natively, so third- and higher-order derivatives
+# through the windowed tier remain exact on every backend.
+
+def pushgrad_window(inp, grid, orders, bounds, extrapolate, max_disp):
+    """Adjoint of :func:`grad_window`: splat per-axis cotangents through
+    the derivative coefficient fields.
+
+    inp: (C, *ishape, D) cotangents of the spatial gradient at grid
+    sites -> (C, *ishape) volume.  Reference contract:
+    interpol/pushpull.py:176-203 (grid_pushgrad).
+    """
+    D = grid.shape[-1]
+    ishape = tuple(grid.shape[:-1])
+    C = inp.shape[0]
+    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    lo, hi = _window_geom(orders, max_disp, D)
+    mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
+    vals = inp.astype(wdtype)
+    if mask is not None:
+        vals = vals * mask.reshape((1,) + ishape + (1,))
+    pshape = tuple(n + l + h for n, l, h in zip(ishape, lo, hi))
+    acc = jnp.zeros((C,) + pshape, wdtype)
+    for da in range(D):
+        ranges, coefs = _coef_fields(grid, ishape, orders, max_disp,
+                                     wdtype, deriv_axes=(da,))
+        spans = [range(r[1] - r[0] + 1) for r in ranges]
+        for ks in itertools.product(*spans):
+            w = None
+            for d, k in enumerate(ks):
+                cd = coefs[d][k]
+                w = cd if w is None else w * cd
+            idx = [slice(None)]
+            for d in range(D):
+                start = lo[d] + ranges[d][0] + ks[d]
+                idx.append(slice(start, start + ishape[d]))
+            acc = acc.at[tuple(idx)].add(vals[..., da] * w[None])
+    return _fold_pad_margins(acc, ishape, bounds, lo, hi, wdtype)
+
+
+def hess_window(inp, grid, orders, bounds, extrapolate, max_disp):
+    """Spatial Hessian of the spline surface on the dense grid.
+
+    inp: (C, *ishape) -> (C, *ishape, D, D), symmetric in the last two
+    axes (serves grad_window's grid-VJP; reference contract:
+    interpol/pushpull.py:206-233 via grid_hess / nd.py:367-464).
+    """
+    D = grid.shape[-1]
+    ishape = tuple(inp.shape[-D:])
+    wdtype = jnp.result_type(inp.dtype, grid.dtype)
+    lo, hi = _window_geom(orders, max_disp, D)
+    vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)
+    uniq = {}
+    for d in range(D):
+        for d2 in range(d, D):
+            kw = dict(deriv2_axis=d) if d == d2 \
+                else dict(deriv_axes=(d, d2))
+            ranges, coefs = _coef_fields(grid, ishape, orders, max_disp,
+                                         wdtype, **kw)
+            uniq[(d, d2)] = _accumulate(vpad, ranges, coefs, lo, ishape,
+                                        lambda view, w: view * w[None])
+    rows = [jnp.stack([uniq[(min(d, d2), max(d, d2))] for d2 in range(D)],
+                      axis=-1) for d in range(D)]
+    out = jnp.stack(rows, axis=-2)
+    mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
+    if mask is not None:
+        out = out * mask.reshape((1,) + ishape + (1, 1))
+    return out
+
+
 # ------------------------------------------------------------ VJP wiring
 # (mirrors ops/pushpull.py / reference pushpull.py:237-282)
 
+# NOTE on second-order AD: each fwd below re-calls the custom_vjp'd
+# function itself (not the raw impl).  jax.vjp inlines fwd's trace into
+# the primal graph, so a fwd that called the raw impl would expose the
+# bare pallas_call to any OUTER differentiation (rev-of-rev) — the exact
+# round-2 crash.  Re-calling the wrapped op keeps the custom rule in the
+# inlined graph at every differentiation order.
+
 def _pull_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
               spread=None):
-    return _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp,
-                      spread), (inp, grid)
+    return pull_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                       spread), (inp, grid)
 
 
 def _pull_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
@@ -453,7 +561,7 @@ def push_window(inp, grid, orders, bounds, extrapolate, max_disp):
 
 
 def _push_fwd(inp, grid, orders, bounds, extrapolate, max_disp):
-    return _push_impl(inp, grid, orders, bounds, extrapolate, max_disp), \
+    return push_window(inp, grid, orders, bounds, extrapolate, max_disp), \
         (inp, grid)
 
 
@@ -468,9 +576,36 @@ def _push_bwd(orders, bounds, extrapolate, max_disp, res, ct):
 push_window.defvjp(_push_fwd, _push_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def grad_window(inp, grid, orders, bounds, extrapolate, max_disp,
                 spread=None):
-    """Dense-grid spatial gradients (plain jnp: higher orders come from
-    native autodiff through the shifted-FMA program)."""
+    """Dense-grid spatial gradients of the spline surface.
+
+    Carries its own ``custom_vjp`` (d_inp via :func:`pushgrad_window`,
+    d_grid via :func:`hess_window` — reference pushpull.py:303-325): the
+    forward may run the Pallas fused kernel, which has no autodiff rule,
+    so ``jax.grad`` through ``grid_grad(max_disp=...)`` and second-order
+    derivatives of ``pull_window``/``push_window`` (whose backwards call
+    this op) must never differentiate through the kernel launch."""
     return _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp,
                       spread)
+
+
+def _gradw_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
+               spread=None):
+    return grad_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                       spread), (inp, grid)
+
+
+def _gradw_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
+    inp, grid = res
+    # full-window adjoints: exact for contract-honoring grids (the
+    # documented adaptive semantics, same policy as _pull_bwd)
+    d_inp = pushgrad_window(ct, grid, orders, bounds, extrapolate,
+                            max_disp)
+    h = hess_window(inp, grid, orders, bounds, extrapolate, max_disp)
+    d_grid = (h * ct[..., None]).sum(axis=(0, -2))
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype))
+
+
+grad_window.defvjp(_gradw_fwd, _gradw_bwd)
