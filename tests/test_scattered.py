@@ -1,0 +1,130 @@
+"""Scattered-grid native tier (interpret mode): exact agreement with
+the generic gather core for arbitrary point clouds, including the
+fallback paths (out-of-volume points, box-capacity overflow)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from interpol_tpu.ops import ndkernels as nd
+from interpol_tpu.ops import scattered as sc
+
+
+def cloud(P=400, ish=(12, 12, 24), seed=0, C=2, outside=0.0):
+    rng = np.random.default_rng(seed)
+    inp = jnp.asarray(rng.standard_normal((C,) + ish))
+    lo, hi = 0.0, np.asarray(ish) - 1.0
+    pts = rng.uniform(lo, hi, (P, 3))
+    if outside:
+        n_out = int(P * outside)
+        pts[:n_out] = rng.uniform(-3.0, np.asarray(ish) + 2.0, (n_out, 3))
+    return inp, jnp.asarray(pts)
+
+
+@pytest.mark.parametrize("orders,bounds,ex", [
+    ((3, 3, 3), (3, 3, 3), 1),
+    ((1, 1, 1), (6, 6, 6), 1),
+    pytest.param((3, 2, 1), (0, 4, 5), 0, marks=pytest.mark.slow),
+    ((0, 3, 3), (2, 2, 2), 1),
+    pytest.param((5, 5, 5), (1, 1, 1), 2, marks=pytest.mark.slow),
+])
+def test_scattered_matches_core(orders, bounds, ex):
+    inp, pts = cloud()
+    ref = nd.pull_core(inp, pts, orders, bounds, ex)
+    out = sc.pull_scattered(inp, pts, orders, bounds, ex,
+                            box=(4, 4, 8), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+    refg = nd.grad_core(inp, pts, orders, bounds, ex)
+    outg = sc.grad_scattered(inp, pts, orders, bounds, ex,
+                             box=(4, 4, 8), interpret=True)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=1e-11)
+
+
+@pytest.mark.parametrize("ex", [0, 1, 2])
+def test_scattered_out_of_volume_fallback(ex):
+    """Points outside the closed volume bounds route through the exact
+    cond-fallback (extrapolate=1 computes them; 0/2 mask per the
+    inbounds threshold)."""
+    inp, pts = cloud(P=400, outside=0.3, seed=1)
+    o, b = (3,) * 3, (3,) * 3
+    ref = nd.pull_core(inp, pts, o, b, ex)
+    out = sc.pull_scattered(inp, pts, o, b, ex, box=(4, 4, 8),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+
+def test_scattered_capacity_overflow_exact():
+    """More than CAP=128 points in one box: the overflow ranks must be
+    computed by the fallback, not dropped."""
+    rng = np.random.default_rng(2)
+    ish = (16, 16, 32)
+    inp = jnp.asarray(rng.standard_normal((1,) + ish))
+    # 300 points clustered inside a single (4, 4, 8) box core
+    pts = rng.uniform([4.0, 4.0, 8.0], [7.5, 7.5, 15.5], (300, 3))
+    pts = jnp.asarray(np.concatenate(
+        [pts, rng.uniform(0, np.asarray(ish) - 1, (200, 3))]))
+    o, b = (3,) * 3, (3,) * 3
+    ref = nd.pull_core(inp, pts, o, b, 1)
+    out = sc.pull_scattered(inp, pts, o, b, 1, box=(4, 4, 8),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+
+def test_scattered_anisotropic_volume_and_order0():
+    inp, pts = cloud(P=500, ish=(9, 20, 33), seed=3, C=1)
+    o, b = (0, 1, 3), (5, 3, 6)
+    ref = nd.pull_core(inp, pts, o, b, 1)
+    out = sc.pull_scattered(inp, pts, o, b, 1, box=(4, 8, 8),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+
+def test_api_dispatch_scattered_backend():
+    """grid_pull / grid_grad WITHOUT max_disp route through the
+    scattered native tier under the pallas backend (the auto backend's
+    documented threshold is scattered.MIN_POINTS on a real TPU) and
+    match the XLA gather path, including through the custom VJPs."""
+    import interpol_tpu as itp
+    from interpol_tpu import backend
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    ish = (12, 16, 32)
+    img = jnp.asarray(rng.standard_normal((2,) + ish))
+    # scattered clouds enter the API as an (N, 1, 1, 3) point lattice
+    # (the shape engine — like the reference's — wants D spatial dims)
+    pts = jnp.asarray(rng.uniform(0, np.asarray(ish) - 1,
+                                  (900, 1, 1, 3)))
+
+    ref = itp.grid_pull(img, pts, interpolation=3, bound="dct2",
+                        extrapolate=True)
+    refg = itp.grid_grad(img, pts, interpolation=3, bound="dct2",
+                         extrapolate=True)
+
+    def loss(v, g):
+        return (itp.grid_pull(v, g, interpolation=3, bound="dct2",
+                              extrapolate=True) ** 2).sum()
+
+    refd = jax.grad(loss, argnums=(0, 1))(img, pts)
+
+    with backend.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+        out = itp.grid_pull(img, pts, interpolation=3, bound="dct2",
+                            extrapolate=True)
+        outg = itp.grid_grad(img, pts, interpolation=3, bound="dct2",
+                             extrapolate=True)
+        outd = jax.grad(loss, argnums=(0, 1))(img, pts)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=1e-11)
+    for a, c in zip(outd, refd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
