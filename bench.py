@@ -5,15 +5,23 @@ Prints ONE JSON line:
      "parity_maxabs": N}
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
-measured against the driver-assigned north star: 70% of the HBM roofline
-for the op.  Roofline model: one output voxel of the dense cubic warp
-needs ~20 B of HBM traffic (amortized input read 4 B + grid 12 B +
-output write 4 B); at ~819 GB/s (v5e) that is ~41 Gvox/s, so the
-baseline target is 0.7 * 41 = 28.7 Gvox/s.
+measured against the round-1 driver-assigned north star: 70% of the HBM
+roofline (20 B/voxel -> 41 Gvox/s at 819 GB/s, 0.7x = 28.7).  Round-2
+measurements showed that model is WRONG for this op on this part: the
+windowed cubic pull at max_disp=2 needs S^3 = 512 FMA/voxel (S = 8) and
+time scales as S^3 across orders (BASELINE.md), i.e. the op is
+VPU-compute-bound, not HBM-bound.  ``vs_compute_roofline`` reports the
+honest model: fraction of the S^3-FMA VPU roofline
+(sustained-FMA-rate / 512 FMA per voxel — see BASELINE.md "Roofline
+re-foundation" for the peak calculation).  ``vs_baseline`` is kept
+against 28.7 for cross-round comparability.
 
-``parity_maxabs`` is the compiled-path correctness gate: max |Pallas -
+``parity_maxabs`` is the compiled-path correctness GATE: max |Pallas -
 XLA| of pull/grad/push on the real chip (CI runs the kernels in
-interpret mode only; this catches Mosaic lowering divergence).
+interpret mode only; this catches Mosaic lowering divergence).  If it
+exceeds PARITY_TOL — or the gate itself fails to run — the JSON line
+carries ``"ok": false`` and the process exits nonzero: a lowering
+divergence must never ship a green-looking bench artifact.
 
 Timing method: the device tunnel costs ~3 ms per dispatch and has a
 large sync latency, so the op is applied in a data-dependent chain of R
@@ -32,7 +40,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_GVOX = 28.7   # 70% of the 20 B/voxel HBM roofline on v5p/v5e
+BASELINE_GVOX = 28.7   # round-1 (mis-modeled) HBM north star, kept for
+#                        cross-round comparability of vs_baseline
+# Compute roofline for the windowed cubic pull at max_disp=2: S^3 = 512
+# FMA/voxel at the measured sustained VPU FMA rate (1.0 T-FMA/s
+# in-kernel, scripts/tpu_kernel_lab*.py; theoretical-peak discussion in
+# BASELINE.md).
+SUSTAINED_TFMA = 1.0
+FMA_PER_VOXEL = 512
+ROOFLINE_GVOX = SUSTAINED_TFMA * 1e12 / FMA_PER_VOXEL / 1e9   # ~1.95
+PARITY_TOL = 1e-5
 
 
 def _sync(x):
@@ -134,21 +151,66 @@ def bench_pull(n=256, order=3, max_disp=2.0):
     return n ** 3 / dt / 1e9
 
 
+def bench_secondary(n=256, order=3, max_disp=2.0):
+    """push / fused-grad / prefilter throughput at the headline config —
+    cheap extra keys so a regression in any op family is visible between
+    BENCH_SUITE refreshes (round-2 verdict, "weak" #7)."""
+    from interpol_tpu.ops import window as wd
+    from interpol_tpu.ops import coeff as cf
+
+    vol, grid = _data(n, max_disp)
+    o, b = (order,) * 3, (3,) * 3
+    out = {}
+    dt = slope_time(
+        lambda c: (wd.push_window(c[0], c[1], o, b, 1, max_disp), c[1]),
+        (vol, grid))
+    out["push_gvox"] = round(n ** 3 / dt / 1e9, 4)
+    dt = slope_time(
+        lambda c: (wd.grad_window(c[0], c[1], o, b, 1, max_disp)[..., 0]
+                   [None], c[1]),
+        (vol, grid))
+    out["grad_gvox"] = round(n ** 3 / dt / 1e9, 4)
+    dt = slope_time(
+        lambda c: (cf.spline_coeff_nd(c[0], o, b, 3), c[1]),
+        (vol, grid))
+    out["coeff_gvox"] = round(n ** 3 / dt / 1e9, 4)
+    return out
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     wait_healthy()
-    try:
-        parity = float(f"{parity_gate():.3e}")
-    except Exception as e:           # a gate hiccup must not zero the
-        parity = f"gate-error: {str(e)[:120]}"   # round's bench artifact
-    gvox = bench_pull(n=n)
-    print(json.dumps({
+    result = {
         "metric": f"3d_cubic_warp_pull_{n}cubed_fp32_window",
-        "value": round(gvox, 4),
-        "unit": "Gvox/s",
-        "vs_baseline": round(gvox / BASELINE_GVOX, 5),
-        "parity_maxabs": parity,
-    }))
+        "value": None, "unit": "Gvox/s", "vs_baseline": None,
+        "ok": True,
+    }
+    # the parity gate GATES: run it first, fail loudly on violation or
+    # on any gate exception (a broken kernel must not ship a
+    # green-looking artifact)
+    try:
+        parity = parity_gate()
+        result["parity_maxabs"] = float(f"{parity:.3e}")
+        if not (parity < PARITY_TOL):
+            result["ok"] = False
+            result["error"] = (f"parity gate FAILED: max|Pallas - XLA| "
+                               f"= {parity:.3e} >= {PARITY_TOL:g}")
+    except Exception as e:
+        result["ok"] = False
+        result["error"] = f"parity gate did not run: {str(e)[:200]}"
+    if not result["ok"]:
+        print(json.dumps(result))
+        sys.exit(1)
+
+    gvox = bench_pull(n=n)
+    result["value"] = round(gvox, 4)
+    result["vs_baseline"] = round(gvox / BASELINE_GVOX, 5)
+    result["vs_compute_roofline"] = round(gvox / ROOFLINE_GVOX, 5)
+    try:
+        result.update(bench_secondary(n=n))
+    except Exception as e:   # secondary keys are informative, not gating
+        result["secondary_error"] = str(e)[:200]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

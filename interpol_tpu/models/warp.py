@@ -39,11 +39,43 @@ class WarpModel(NamedTuple):
     # validate a representative flow with api.required_tile_spread
     # before enabling (the contract spans the kernel's 128-lane tile
     # extent on the last axis).
+    #
+    # tile_spread="auto": derive a GUARANTEED per-axis bound from the
+    # coarse-grid geometry.  In auto mode the displacement clamp moves
+    # to the coarse control points (tanh before upsampling), so the
+    # dense flow is a B-spline mixture of values in [-max_disp,
+    # max_disp]: its per-fine-voxel slope is bounded by
+    # max_disp * G / scale_d (G = sup sum |beta'| <= 2), and the
+    # per-tile residual after the rounded-mean shift by
+    # min(max_disp, max_disp * tile_d / scale_d + 0.5).  Axes where the
+    # bound reaches max_disp keep the full window (no win there, still
+    # exact); wide residual windows are chunked automatically.
+    coarse_clamp: bool = False      # clamp displacements at the coarse
+    # nodes instead of the dense field (implied by tile_spread="auto";
+    # exposed so a full-window run can use the IDENTICAL flow)
 
     def init_params(self, batch: int, dtype=jnp.float32):
         """Zero displacement control points: (B, *coarse_shape, D)."""
         D = len(self.vol_shape)
         return jnp.zeros((batch,) + tuple(self.coarse_shape) + (D,), dtype)
+
+    def auto_tile_spread(self, tile=(8, 8, 128)):
+        """Geometry-derived per-axis residual-spread bound (sound for
+        auto-mode flows, whose coarse values are clamped to max_disp):
+        min(max_disp, max_disp * G * (tile_d/2) / scale_d + 0.5) with
+        the B-spline derivative-sum bound G <= 2."""
+        D = len(self.vol_shape)
+        scale = [v / c for v, c in zip(self.vol_shape, self.coarse_shape)]
+        tile = tuple(tile)[-D:]
+        M, G = float(self.max_disp), 2.0
+        return tuple(min(M, M * G * (t / 2) / s + 0.5)
+                     for t, s in zip(tile, scale))
+
+    def _spread(self):
+        if isinstance(self.tile_spread, str):
+            assert self.tile_spread == "auto", self.tile_spread
+            return self.auto_tile_spread()
+        return self.tile_spread
 
     def dense_flow(self, params):
         """Upsample coarse displacement control points to a dense
@@ -52,24 +84,36 @@ class WarpModel(NamedTuple):
         # channel-first for resize: (B, D, *coarse)
         disp = jnp.moveaxis(params, -1, 1)
         scale = [v / c for v, c in zip(self.vol_shape, self.coarse_shape)]
-        disp = resize(disp, shape=list(self.vol_shape),
-                      anchor=["e"] * D,
-                      interpolation=self.interpolation,
-                      bound=self.bound, prefilter=False)
-        # displacements are in coarse-voxel units; rescale per axis and
-        # clamp smoothly to the displacement budget
-        disp = disp * jnp.asarray(scale, disp.dtype).reshape(
-            (1, D) + (1,) * D)
-        disp = self.max_disp * jnp.tanh(disp / self.max_disp)
+        sc = jnp.asarray(scale, disp.dtype).reshape((1, D) + (1,) * D)
+        if self.tile_spread == "auto" or self.coarse_clamp:
+            # clamp at the COARSE nodes: the upsampled field is then a
+            # convex B-spline mixture of values in [-max_disp, max_disp]
+            # with a provable slope bound — what auto_tile_spread's
+            # residual bound is derived from
+            disp = self.max_disp * jnp.tanh(disp * sc / self.max_disp)
+            disp = resize(disp, shape=list(self.vol_shape),
+                          anchor=["e"] * D,
+                          interpolation=self.interpolation,
+                          bound=self.bound, prefilter=False)
+        else:
+            disp = resize(disp, shape=list(self.vol_shape),
+                          anchor=["e"] * D,
+                          interpolation=self.interpolation,
+                          bound=self.bound, prefilter=False)
+            # displacements are in coarse-voxel units; rescale per axis
+            # and clamp smoothly to the displacement budget
+            disp = disp * sc
+            disp = self.max_disp * jnp.tanh(disp / self.max_disp)
         return add_identity_grid(jnp.moveaxis(disp, 1, -1))
 
-    def warp(self, params, moving):
+    def warp(self, params, moving, check_spread=False):
         """Warp ``moving`` (B, C, *vol_shape) by the model's deformation."""
         flow = self.dense_flow(params)
         return grid_pull(moving, flow, interpolation=self.interpolation,
                          bound=self.bound, extrapolate=True,
                          max_disp=self.max_disp,
-                         tile_spread=self.tile_spread)
+                         tile_spread=self._spread(),
+                         check_spread=check_spread)
 
 
 def mse_loss(model: WarpModel, params, moving, fixed):

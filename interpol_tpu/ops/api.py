@@ -113,7 +113,7 @@ def _window_pull_dispatch(inp, grid, orders, bounds, ex, max_disp,
 
 def grid_pull(input, grid, interpolation="linear", bound="zero",
               extrapolate=False, prefilter=False, *, classes=None,
-              max_disp=None, tile_spread=None):
+              max_disp=None, tile_spread=None, check_spread=False):
     """Sample an image at the positions of a deformation field.
 
     Parameters (reference api.py:149-212)
@@ -140,6 +140,10 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
         tile per axis, making the warp cost independent of
         ``max_disp`` for tile-smooth fields.  Same graceful-degradation
         failure mode.  Requires ``max_disp``.
+    check_spread : bool — opt-in on-device contract check (debug mode):
+        computes the actual per-tile residual spread of this grid and
+        raises on the host if it exceeds ``tile_spread`` (which would
+        otherwise silently drop taps).  Costs one reduction pass.
 
     Returns
     -------
@@ -150,6 +154,9 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
     D = grid.shape[-1]
     orders, bounds, ex = normalize_options(interpolation, bound,
                                            extrapolate, D)
+    if tile_spread is not None and max_disp is None:
+        raise ValueError("tile_spread requires max_disp (the adaptive "
+                         "window refines the dense-warp fast path)")
 
     if classes is not None or not jnp.issubdtype(input.dtype, jnp.inexact):
         return _label_pull(input, grid, orders, bounds, ex, prefilter,
@@ -159,11 +166,73 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
+        if check_spread and tile_spread is not None:
+            _check_spread(grid, inp.shape[2:], tile_spread, max_disp)
         out = _window_pull_dispatch(inp, grid, orders, bounds, ex,
                                     max_disp, tile_spread)
     else:
         out = _pp.pull(inp, grid, orders, bounds, ex)
     return _postproc(out, info, "pull")
+
+
+def _spread_violation(grid_b, ishape, tile, tile_spread, max_disp):
+    """Traced per-axis residual-spread excess of a dense (B, *sp, D)
+    grid over the kernel tiling — the on-device adaptive-contract
+    check.  Returns (excess (D,), measured (D,)): excess > 0 means the
+    declared ``tile_spread`` is violated and the adaptive kernel would
+    silently drop taps."""
+    D = grid_b.shape[-1]
+    sp = _md_norm(tile_spread)
+    sp = sp if isinstance(sp, tuple) else (sp,) * D
+    md = _md_norm(max_disp)
+    md = md if isinstance(md, tuple) else (md,) * D
+    tile = tuple(tile)[-D:]
+    iota = jnp.stack([jax.lax.broadcasted_iota(grid_b.dtype,
+                                               tuple(ishape), d)
+                      for d in range(D)], -1)
+    disp = grid_b - iota[None]
+    pads = [(0, 0)] + [(0, (-n) % t) for n, t in zip(ishape, tile)] \
+        + [(0, 0)]
+    disp = jnp.pad(disp, pads, mode="edge")
+    shp = [disp.shape[0]]
+    for n, t in zip(disp.shape[1:-1], tile):
+        shp += [n // t, t]
+    disp = disp.reshape(shp + [D])
+    tile_axes = tuple(range(2, 2 + 2 * D, 2))
+    m = disp.mean(axis=tile_axes, keepdims=True)
+    # mirror the kernel exactly: integer-rounded, clipped bases
+    base = jnp.clip(jnp.round(m),
+                    -jnp.ceil(jnp.asarray(md, disp.dtype)),
+                    jnp.ceil(jnp.asarray(md, disp.dtype)))
+    res = jnp.abs(disp - base)
+    measured = res.max(axis=tuple(range(res.ndim - 1)))
+    return measured - jnp.asarray(sp, disp.dtype), measured
+
+
+def _raise_spread_violation(excess, measured, spread=None):
+    import numpy as _np
+    if bool(_np.any(_np.asarray(excess) > 0)):
+        raise RuntimeError(
+            f"adaptive-window contract VIOLATED: measured per-axis "
+            f"tile residual spread {tuple(_np.round(_np.asarray(measured), 4))} "
+            f"exceeds the declared tile_spread {spread}; the adaptive "
+            f"kernel silently drops out-of-window taps for such fields. "
+            f"Raise tile_spread (see required_tile_spread) or drop it.")
+
+
+def _check_spread(grid_b, ishape, tile_spread, max_disp):
+    """Opt-in on-device contract check (grid_pull/grid_grad
+    ``check_spread=True``): computes the residual spread on device and
+    raises on the host when the declared bound is violated (the
+    callback exception surfaces when the computation is consumed)."""
+    from .pallas_warp import default_tile
+    tile = default_tile(tuple(ishape)) or (8, 128)
+    excess, measured = _spread_violation(grid_b, ishape, tile,
+                                         tile_spread, max_disp)
+    from functools import partial as _partial
+    jax.debug.callback(_partial(_raise_spread_violation,
+                                spread=_md_norm(tile_spread)),
+                       excess, measured)
 
 
 def required_tile_spread(grid, tile=(8, 8, 128)):
@@ -280,20 +349,26 @@ def grid_count(grid, shape=None, interpolation="linear", bound="zero",
 
 def grid_grad(input, grid, interpolation="linear", bound="zero",
               extrapolate=False, prefilter=False, *, max_disp=None,
-              tile_spread=None):
+              tile_spread=None, check_spread=False):
     """Sample spatial gradients of an image at the positions of a
     deformation field.  Reference api.py:302-344.  ``max_disp`` enables
     the windowed fast path for dense grids; ``tile_spread`` the
-    adaptive per-tile windows (see grid_pull)."""
+    adaptive per-tile windows; ``check_spread`` the on-device contract
+    check (see grid_pull)."""
     input = jnp.asarray(input)
     grid = jnp.asarray(grid)
     D = grid.shape[-1]
     orders, bounds, ex = normalize_options(interpolation, bound,
                                            extrapolate, D)
+    if tile_spread is not None and max_disp is None:
+        raise ValueError("tile_spread requires max_disp (the adaptive "
+                         "window refines the dense-warp fast path)")
     grid, inp, info = _preproc(grid, input)
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
+        if check_spread and tile_spread is not None:
+            _check_spread(grid, inp.shape[2:], tile_spread, max_disp)
         sp = None if tile_spread is None else _md_norm(tile_spread)
         f = lambda v, g: _window.grad_window(v, g, orders, bounds, ex,
                                              _md_norm(max_disp), sp)

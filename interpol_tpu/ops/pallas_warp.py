@@ -282,17 +282,24 @@ def _geometry(ishape, orders, max_disp, tile, ranges_override=None):
     return ranges, lo, hi, S, box_shape
 
 
-def _geometry_adaptive(ishape, orders, max_disp, spread, tile):
+def _geometry_adaptive(ishape, orders, max_disp, spread, tile,
+                       ranges_override=None):
     """Box/pad geometry for the adaptive (per-tile base) kernel.
 
     The shift window is the *residual* window from ``spread``; the pad
     absorbs the worst-case base (B = ceil(max_disp) per axis) plus the
-    DMA alignment slop on the sublane/lane axes."""
+    DMA alignment slop on the sublane/lane axes.  ``ranges_override``:
+    explicit residual sub-ranges (each containing 0) for wide-residual
+    chunked launches — same convention as :func:`_geometry`."""
     D = 3
     from .window import _md_tuple
     md = _md_tuple(max_disp, D)
     sp = _md_tuple(spread, D)
-    ranges = tuple(window_range(orders[d], sp[d]) for d in range(D))
+    if ranges_override is not None:
+        ranges = tuple(ranges_override)
+        assert all(r[0] <= 0 <= r[1] for r in ranges), ranges
+    else:
+        ranges = tuple(window_range(orders[d], sp[d]) for d in range(D))
     S = tuple(r[1] - r[0] + 1 for r in ranges)
     B = tuple(int(math.ceil(m)) for m in md)
     # margin: window origin for base b sits at tile0 + (B - smin) + b + smin
@@ -353,7 +360,8 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     if adaptive:
         (ranges, lo, hi, S, box_shape,
          base_margin) = _geometry_adaptive(ishape, orders, max_disp,
-                                           spread, tile)
+                                           spread, tile,
+                                           ranges_override=ranges_override)
     else:
         ranges, lo, hi, S, box_shape = _geometry(
             ishape, orders, max_disp, tile,

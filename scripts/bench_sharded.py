@@ -1,0 +1,198 @@
+"""Sharded-path perf evidence on the virtual CPU mesh (VERDICT r2 #5).
+
+Multi-chip hardware is not attached, so these rows do NOT measure TPU
+throughput — they measure the *composition*: that the windowed kernels
+inside shard_map scale with device count instead of being serialized,
+and what fraction of the local step the halo exchange + edge correction
+costs.  Rows are appended to BENCH_SUITE.jsonl with
+``harness=sharded_cpu_mesh_r3`` and per-device throughput plus the
+halo-overhead ratio vs an unsharded single-device run of the same
+LOCAL problem size (perfect scaling => ratio 1.0).
+
+Run (forces a CPU mesh, safe anywhere):
+    python scripts/bench_sharded.py [ndev ...]
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scripts_common import slope_time  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_SUITE.jsonl")
+
+
+def record(entry):
+    entry["device"] = str(jax.devices()[0])
+    entry["n_devices_avail"] = len(jax.devices())
+    entry["ts"] = time.time()
+    entry["harness"] = "sharded_cpu_mesh_r3"
+    with open(OUT, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    print(json.dumps(entry), flush=True)
+
+
+def data(n, max_disp=1.5, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = jnp.asarray(rng.standard_normal((1, 1, n, n, n))
+                      .astype(np.float32))
+    ident = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
+                     -1).astype(np.float32)
+    grid = jnp.asarray(
+        (ident + rng.uniform(-max_disp, max_disp, ident.shape))[None]
+        .astype(np.float32))
+    return vol, grid
+
+
+def bench_sharded_op(op_name, n=64, ndev=8, order=3, max_disp=1.5):
+    from interpol_tpu.parallel import spatial as sp
+
+    o, b = (order,) * 3, (3,) * 3
+    vol, grid = data(n, max_disp)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("x",))
+
+    if op_name == "pull":
+        f = lambda v, g: sp.pull_sharded(
+            v, g, o, b, 1, mesh=mesh, max_disp=max_disp, use_window=True)
+    elif op_name == "push":
+        f = lambda v, g: sp.push_sharded(
+            v, g, (n,) * 3, o, b, 1, mesh=mesh, max_disp=max_disp,
+            use_window=True)
+    else:
+        f = lambda v, g: sp.grad_sharded(
+            v, g, o, b, 1, mesh=mesh, max_disp=max_disp,
+            use_window=True)
+
+    def body(c):
+        out = f(c[0], c[1])
+        if op_name == "grad":
+            out = out[..., 0]
+        return (c[0] + 1e-9 * out[..., :1, :1, :1].reshape(
+            1, 1, 1, 1, 1), c[1])
+
+    dt, _ = slope_time(body, (vol, grid), R1=2, R2=8, iters=3)
+    gvox = n ** 3 / dt / 1e9
+    return dt, gvox
+
+
+def bench_local_window(op_name, n_loc, order=3, max_disp=1.5):
+    """Unsharded single-device run at the LOCAL slab size: the
+    perfect-scaling reference for the halo-overhead ratio."""
+    from interpol_tpu.ops import window as wd
+
+    o, b = (order,) * 3, (3,) * 3
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray(rng.standard_normal((1, n_loc, 64, 64))
+                      .astype(np.float32))
+    ident = np.stack(np.meshgrid(np.arange(n_loc), np.arange(64),
+                                 np.arange(64), indexing="ij"),
+                     -1).astype(np.float32)
+    grid = jnp.asarray((ident + rng.uniform(-max_disp, max_disp,
+                                            ident.shape))
+                       .astype(np.float32))
+    fns = {"pull": wd.pull_window, "push": wd.push_window,
+           "grad": wd.grad_window}
+    f = fns[op_name]
+
+    def body(c):
+        out = f(c[0], c[1], o, b, 1, max_disp)
+        if op_name == "grad":
+            out = out[..., 0]
+        return (c[0] + 1e-9 * out[..., :1, :1, :1].reshape(1, 1, 1, 1),
+                c[1])
+
+    dt, _ = slope_time(body, (vol, grid), R1=2, R2=8, iters=3)
+    return dt
+
+
+def bench_train_step(ndev=8, n=64):
+    """Distributed registration train step on the dryrun mesh layout
+    (('data', 'x'), the __graft_entry__ composition) timed end-to-end
+    at a realistic volume size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from interpol_tpu.models import WarpModel
+    from interpol_tpu.parallel.spatial import pull_sharded
+
+    dx = 4 if ndev % 4 == 0 else (2 if ndev % 2 == 0 else 1)
+    dd = ndev // dx
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(dd, dx),
+                ("data", "x"))
+    vol = (n, n, n)
+    model = WarpModel(vol_shape=vol, coarse_shape=(8, 8, 8),
+                      interpolation=3, bound="dct2", max_disp=1.5)
+    B = dd
+    rng = np.random.default_rng(2)
+    params = model.init_params(B) + 0.01 * jnp.asarray(
+        rng.standard_normal((B, 8, 8, 8, 3)).astype(np.float32))
+    moving = jnp.asarray(
+        rng.standard_normal((B, 1) + vol).astype(np.float32))
+    fixed = jnp.asarray(
+        rng.standard_normal((B, 1) + vol).astype(np.float32))
+    vol_spec = NamedSharding(mesh, P("data", None, "x"))
+    rep = NamedSharding(mesh, P())
+    moving = jax.device_put(moving, vol_spec)
+    fixed = jax.device_put(fixed, vol_spec)
+    params = jax.device_put(params, rep)
+
+    def loss_fn(p, mv, fx):
+        flow = model.dense_flow(p)
+        warped = pull_sharded(
+            mv, flow, (3,) * 3, (3,) * 3, 1, mesh=mesh, axis_name="x",
+            max_disp=model.max_disp, batch_axis="data")
+        return jnp.mean((warped - fx) ** 2)
+
+    def body(c):
+        l, g = jax.value_and_grad(loss_fn)(c[0], c[1], c[2])
+        return (c[0] - 0.1 * g, c[1], c[2])
+
+    dt, _ = slope_time(body, (params, moving, fixed), R1=1, R2=3,
+                       iters=2)
+    return dt
+
+
+def main():
+    ndevs = [int(a) for a in sys.argv[1:]] or [2, 4, 8]
+    n = 64
+    for op in ("pull", "grad", "push"):
+        base = {}
+        for ndev in ndevs:
+            dt, gvox = bench_sharded_op(op, n=n, ndev=ndev)
+            loc = bench_local_window(op, n // ndev)
+            record({
+                "key": f"sharded_{op}_n{n}_d{ndev}",
+                "op": f"{op}_sharded_window", "n": n, "ndev": ndev,
+                "order": 3, "max_disp": 1.5,
+                "total_ms": round(dt * 1e3, 3),
+                "gvox_s": round(gvox, 4),
+                "gvox_s_per_dev": round(gvox / ndev, 4),
+                "local_ref_ms": round(loc * 1e3, 3),
+                "halo_overhead_ratio": round(dt / loc, 3),
+            })
+    try:
+        dt = bench_train_step(ndev=8, n=n)
+        record({"key": f"sharded_trainstep_n{n}_d8",
+                "op": "train_step_sharded", "n": n, "ndev": 8,
+                "total_ms": round(dt * 1e3, 3)})
+    except Exception as e:
+        record({"key": "sharded_trainstep_error", "error": str(e)[:200]})
+
+
+if __name__ == "__main__":
+    main()
