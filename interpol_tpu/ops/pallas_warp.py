@@ -74,10 +74,18 @@ __all__ = ["warp_pallas", "push_window_pallas", "default_tile",
 def default_tile(ishape: Tuple[int, ...] = None):
     """Best-measured tile on v5e (scripts/tpu_tile_sweep.py, lab runs).
     Any 3-D volume is eligible: the wrappers pad internally to tile
-    alignment and slice the result.  Returns None for non-3-D shapes."""
+    alignment and slice the result.  Returns None for non-3-D shapes.
+
+    When the last axis is not a 128-multiple, a FULL-SPAN z tile
+    avoids the round-up-to-128 alignment margin (Mosaic accepts
+    non-128 lane dims only as full spans): 192^3 paid a 33% padding
+    tax on 128-tiles (BASELINE.md round-2 note)."""
     if ishape is not None and len(ishape) != 3:
         return None
-    return (8, 8, 128)
+    tz = 128
+    if ishape is not None and ishape[2] % 128 != 0 and ishape[2] <= 384:
+        tz = int(ishape[2])
+    return (8, 8, tz)
 
 
 def _aligned(ishape, tile):
@@ -150,8 +158,8 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     if adaptive:
         bx_ref, by_ref, bz_ref = out_refs[:3]
         out_refs = out_refs[3:]
-    box, sem = out_refs[-2], out_refs[-1]
-    out_refs = out_refs[:-2]
+    box0, box1, sem0, sem1 = out_refs[-4:]
+    out_refs = out_refs[:-4]
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
     Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
@@ -164,30 +172,94 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     BXa, BYa, BZa = box_shape
     c = pl.program_id(0)
     ix, iy, iz = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+    ntx, nty, ntz = (pl.num_programs(1), pl.num_programs(2),
+                     pl.num_programs(3))
     x0, y0, z0 = ix * TX, iy * TY, iz * TZ
 
+    def src_rolls(cc, jx, jy, jz):
+        """HBM box slice + de-alignment residues for tile (cc,jx,jy,jz).
+
+        Single-tile axes (full-span tiles) use a literal 0 offset:
+        their tile extent is generally not 128-divisible, and a traced
+        ``program_id * T`` would fail Mosaic's alignment proof even
+        though it is constant."""
+        tx0 = 0 if ntx == 1 else jx * TX
+        ty0 = 0 if nty == 1 else jy * TY
+        tz0 = 0 if ntz == 1 else jz * TZ
+        if adaptive:
+            flat = (jx * nty + jy) * ntz + jz
+            bxs, bys, bzs = bx_ref[flat], by_ref[flat], bz_ref[flat]
+            # fetch origins in padded coords (pad lo = margin - smin, so
+            # the window origin is tile0 + margin + b); y/z align down,
+            # the residue is rolled off after the DMA
+            ox = tx0 + base_margin[0] + bxs
+            oyr = ty0 + base_margin[1] + bys
+            ozr = tz0 + base_margin[2] + bzs
+            oy = (oyr // 8) * 8
+            oz = (ozr // 128) * 128
+            src = vpad_hbm.at[cc, pl.ds(ox, BXa),
+                              pl.ds(pl.multiple_of(oy, 8), BYa),
+                              pl.ds(pl.multiple_of(oz, 128), BZa)]
+            return src, oyr - oy, ozr - oz
+        # divisibility hints: the NEXT-step indices flow through
+        # jnp.where carries, so Mosaic cannot prove tile alignment on
+        # its own (observed compile failure without these)
+        ty0 = pl.multiple_of(ty0, 8) if TY % 8 == 0 else ty0
+        tz0 = pl.multiple_of(tz0, 128) if TZ % 128 == 0 else tz0
+        src = vpad_hbm.at[cc, pl.ds(tx0, BXa), pl.ds(ty0, BYa),
+                          pl.ds(tz0, BZa)]
+        return src, None, None
+
     if adaptive:
-        nty, ntz = pl.num_programs(2), pl.num_programs(3)
         flat = (ix * nty + iy) * ntz + iz
         bx, by, bz = bx_ref[flat], by_ref[flat], bz_ref[flat]
-        # fetch origins in padded coords (pad lo = margin - smin, so the
-        # window origin is x0 + margin + b); y/z align down, the
-        # residue is rolled off after the DMA
-        ox = x0 + base_margin[0] + bx
-        oyr = y0 + base_margin[1] + by
-        ozr = z0 + base_margin[2] + bz
-        oy = (oyr // 8) * 8
-        oz = (ozr // 128) * 128
-        ry, rz = oyr - oy, ozr - oz
-        src = vpad_hbm.at[c, pl.ds(ox, BXa),
-                          pl.ds(pl.multiple_of(oy, 8), BYa),
-                          pl.ds(pl.multiple_of(oz, 128), BZa)]
     else:
         bx = by = bz = None
-        src = vpad_hbm.at[c, pl.ds(x0, BXa), pl.ds(y0, BYa),
-                          pl.ds(z0, BZa)]
-    cp = pltpu.make_async_copy(src, box, sem)
-    cp.start()
+
+    # Double-buffered box pipeline: the current tile's box was DMA'd by
+    # the PREVIOUS grid step (the first step self-starts), and this
+    # step kicks off the next tile's DMA before its own accumulation —
+    # so the HBM fetch overlaps the whole S^3 compute, not just the
+    # coefficient-plane build.  Requires "arbitrary" grid semantics
+    # (sequential iteration order).
+    step = ((c * ntx + ix) * nty + iy) * ntz + iz
+    last = pl.num_programs(0) * ntx * nty * ntz - 1
+    parity = jax.lax.rem(step, jnp.asarray(2, step.dtype))
+    src_cur, ry, rz = src_rolls(c, ix, iy, iz)
+
+    @pl.when(step == 0)
+    def _():
+        pltpu.make_async_copy(src_cur, box0, sem0).start()
+
+    # next tile's grid indices (row-major increment, iz fastest)
+    izn = iz + 1
+    cz_ = izn == ntz
+    izn = jnp.where(cz_, 0, izn)
+    iyn = jnp.where(cz_, iy + 1, iy)
+    cy_ = iyn == nty
+    iyn = jnp.where(cy_, 0, iyn)
+    ixn = jnp.where(cy_, ix + 1, ix)
+    cx_ = ixn == ntx
+    ixn = jnp.where(cx_, 0, ixn)
+    cn = jnp.where(cx_, c + 1, c)
+    cn = jnp.minimum(cn, pl.num_programs(0) - 1)
+    src_nxt, _, _ = src_rolls(cn, ixn, iyn, izn)
+
+    @pl.when(parity == 0)
+    def _():
+        pltpu.make_async_copy(src_cur, box0, sem0).wait()
+
+    @pl.when(parity == 1)
+    def _():
+        pltpu.make_async_copy(src_cur, box1, sem1).wait()
+
+    @pl.when((step < last) & (parity == 0))
+    def _():
+        pltpu.make_async_copy(src_nxt, box1, sem1).start()
+
+    @pl.when((step < last) & (parity == 1))
+    def _():
+        pltpu.make_async_copy(src_nxt, box0, sem0).start()
 
     # coefficient (and derivative) planes overlap the DMA; built only
     # for the ACTIVE shifts, stored at their geometry-range index
@@ -209,8 +281,7 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     czs, gzs = _planes(gz_ref, orders[2], az0, az1, sz0, z0, 2, bz,
                        d0r[2])
 
-    cp.wait()
-    bval = box[...]
+    bval = jnp.where(parity == 0, box0[...], box1[...])
     if adaptive:
         # remove the alignment residues: roll rows/lanes so the window
         # origin sits at index 0 (dynamic rotate)
@@ -315,6 +386,41 @@ def _geometry_adaptive(ishape, orders, max_disp, spread, tile,
     return ranges, lo, hi, S, tuple(need), base_margin
 
 
+def _tile_bases(disp, md, ntiles, tile):
+    """Per-tile integer base displacements (adaptive mode): the rounded
+    tile-mean of each displacement component, clipped to the declared
+    bound.  ``disp`` must already be padded to tile alignment."""
+    D = 3
+    bs = []
+    for d in range(D):
+        m = disp[..., d].reshape(
+            ntiles[0], tile[0], ntiles[1], tile[1],
+            ntiles[2], tile[2]).mean(axis=(1, 3, 5))
+        B = int(math.ceil(md[d]))
+        bs.append(jnp.clip(jnp.round(m), -B, B)
+                  .astype(jnp.int32).reshape(-1))
+    return bs
+
+
+def _adaptive_disp(grid, ishape, ishape_a, wdtype):
+    """Displacement field of a dense grid, edge-replicated into the
+    tile-alignment margin; returns (disp, grid_extended)."""
+    D = 3
+    extra = [a - n for a, n in zip(ishape_a, ishape)]
+    iota = jnp.stack(
+        [jax.lax.broadcasted_iota(wdtype, tuple(ishape), d)
+         for d in range(D)], -1)
+    disp = grid.astype(wdtype) - iota
+    if any(extra):
+        disp = jnp.pad(disp, [(0, e) for e in extra] + [(0, 0)],
+                       mode="edge")
+        iota_a = jnp.stack(
+            [jax.lax.broadcasted_iota(wdtype, tuple(ishape_a), d)
+             for d in range(D)], -1)
+        grid = iota_a + disp
+    return disp, grid
+
+
 def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                 orders: Tuple[int, ...], bounds: Tuple[int, ...],
                 extrapolate: int, max_disp: float, *,
@@ -379,32 +485,14 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         # grid coords would skew the means by the margin distance)
         from .window import _md_tuple
         md = _md_tuple(max_disp, D)
-        iota = jnp.stack(
-            [jax.lax.broadcasted_iota(wdtype, ishape, d)
-             for d in range(D)], -1)
-        disp = grid.astype(wdtype) - iota
-        if any(extra):
-            disp = jnp.pad(disp, [(0, e) for e in extra] + [(0, 0)],
-                           mode="edge")
-            iota_a = jnp.stack(
-                [jax.lax.broadcasted_iota(wdtype, ishape_a, d)
-                 for d in range(D)], -1)
-            grid = iota_a + disp
+        disp, grid = _adaptive_disp(grid, ishape, ishape_a, wdtype)
     elif any(extra):
         grid = _pad_grid_edge(grid, ishape_a)
     if any(extra):
         vpad = jnp.pad(vpad, [(0, 0)] + [(0, e) for e in extra])
     ntiles = tuple(a // t for a, t in zip(ishape_a, tile))
 
-    bs = []
-    if adaptive:
-        for d in range(D):
-            m = disp[..., d].reshape(
-                ntiles[0], tile[0], ntiles[1], tile[1],
-                ntiles[2], tile[2]).mean(axis=(1, 3, 5))
-            B = int(math.ceil(md[d]))
-            bs.append(jnp.clip(jnp.round(m), -B, B)
-                      .astype(jnp.int32).reshape(-1))
+    bs = _tile_bases(disp, md, ntiles, tile) if adaptive else []
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
@@ -431,10 +519,14 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((C,) + ishape_a, wdtype)] * n_out,
         scratch_shapes=[
             pltpu.VMEM(box_shape, wdtype),
+            pltpu.VMEM(box_shape, wdtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # "arbitrary": the cross-step double-buffered box DMA needs the
+        # sequential row-major iteration order
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 4),
+            dimension_semantics=("arbitrary",) * 4),
         interpret=interpret,
     )(g[..., 0], g[..., 1], g[..., 2], vpad, *bs)
 
@@ -468,9 +560,9 @@ def pull_window_pallas(inp, grid, orders, bounds, extrapolate, max_disp,
 
 # ---------------------------------------------------------------- push
 
-def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
+def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, *refs,
                  orders, ranges, tile, box_shape, active=None,
-                 d0_ranges=None):
+                 d0_ranges=None, base_margin=None):
     """Exact adjoint of the pull kernel's data movement: splat one
     tile's values into its private halo-extended box.
 
@@ -481,7 +573,21 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
     box-sized arrays) instead of round 1's per-(ky,kz) scratch
     read-modify-write over a (Sy, Sz, BXa, TY, TZ) slab buffer — which
     is what capped the compilable window span at 12.
+
+    Adaptive mode (``base_margin``): coefficient planes select over the
+    *residual* window re-centered on the per-tile base (SMEM tables);
+    y/z placement gets the base applied with ONE final dynamic roll of
+    the accumulated box (margins 2*B wide), while the x base is applied
+    by the caller's overlap-add epilogue (dynamic leading-dim offsets
+    are free there; in-kernel dynamic rolls only exist for the
+    sublane/lane axes).
     """
+    adaptive = base_margin is not None
+    if adaptive:
+        bx_ref, by_ref, bz_ref = refs[:3]
+        box_out = refs[3]
+    else:
+        box_out = refs[0]
     TX, TY, TZ = tile
     (sx0, sx1), (sy0, sy1), (sz0, sz1) = ranges
     Sx, Sy, Sz = sx1 - sx0 + 1, sy1 - sy0 + 1, sz1 - sz0 + 1
@@ -491,17 +597,23 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
     kzs = range(az0 - sz0, az1 - sz0 + 1)
     d0r = d0_ranges or (None, None, None)
     BXa, BYa, BZa = box_shape
-    x0 = pl.program_id(1) * TX
-    y0 = pl.program_id(2) * TY
-    z0 = pl.program_id(3) * TZ
+    ix, iy, iz = pl.program_id(1), pl.program_id(2), pl.program_id(3)
+    x0, y0, z0 = ix * TX, iy * TY, iz * TZ
+
+    if adaptive:
+        nty, ntz = pl.num_programs(2), pl.num_programs(3)
+        flat = (ix * nty + iy) * ntz + iz
+        bx, by, bz = bx_ref[flat], by_ref[flat], bz_ref[flat]
+    else:
+        bx = by = bz = None
 
     shape = (TX, TY, TZ)
     cxs, _ = _coef_planes(gx_ref[0], orders[0], ax0, ax1, x0, 0, shape,
-                          d0_range=d0r[0])
+                          d0_range=d0r[0], base=bx)
     cys, _ = _coef_planes(gy_ref[0], orders[1], ay0, ay1, y0, 1, shape,
-                          d0_range=d0r[1])
+                          d0_range=d0r[1], base=by)
     czs, _ = _coef_planes(gz_ref[0], orders[2], az0, az1, z0, 2, shape,
-                          d0_range=d0r[2])
+                          d0_range=d0r[2], base=bz)
     cxs = dict(zip(kxs, cxs))
     cys = dict(zip(kys, cys))
     czs = dict(zip(kzs, czs))
@@ -535,7 +647,43 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, box_out, *,
         acc = wk if acc is None else acc + wk
     if acc is None:
         acc = jnp.zeros((BXa, BYa, BZa), val.dtype)
+    if adaptive:
+        # apply the per-tile base on the sublane/lane axes with one
+        # dynamic roll each (the 2*B margins absorb any base)
+        acc = pltpu.roll(acc, base_margin[1] + by, 1)
+        acc = pltpu.roll(acc, base_margin[2] + bz, 2)
     box_out[0, 0, 0, 0] = acc
+
+
+def _geometry_adaptive_push(orders, max_disp, spread, tile,
+                            ranges_override=None):
+    """Box/pad geometry for the adaptive push kernel: residual window
+    placement is static; the y/z per-tile base is absorbed by 2*B-wide
+    in-box margins (applied with one dynamic roll), the x base by
+    dynamic overlap-add offsets in the epilogue."""
+    D = 3
+    from .window import _md_tuple
+    md = _md_tuple(max_disp, D)
+    sp = _md_tuple(spread, D)
+    if ranges_override is not None:
+        ranges = tuple(ranges_override)
+        assert all(r[0] <= 0 <= r[1] for r in ranges), ranges
+    else:
+        ranges = tuple(window_range(orders[d], sp[d]) for d in range(D))
+    S = tuple(r[1] - r[0] + 1 for r in ranges)
+    B = tuple(int(math.ceil(m)) for m in md)
+    box_shape = (tile[0] + S[0] - 1,
+                 -(-(tile[1] + S[1] - 1 + 2 * B[1]) // 8) * 8,
+                 -(-(tile[2] + S[2] - 1 + 2 * B[2]) // 128) * 128)
+    # acc coords: axis 0: index = x + B0 + bx + u; axes 1/2: margins
+    # live inside the box (placement origin = tile origin)
+    lo = [B[0] - ranges[0][0],
+          B[1] - ranges[1][0],
+          B[2] - ranges[2][0]]
+    hi = [B[0] + ranges[0][1],
+          box_shape[1] - tile[1] - lo[1],
+          box_shape[2] - tile[2] - lo[2]]
+    return ranges, lo, hi, S, box_shape, B
 
 
 def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
@@ -543,7 +691,8 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                        extrapolate: int, max_disp: float,
                        tile: Tuple[int, int, int] = None,
                        interpret: bool = False, ranges_override=None,
-                       active=None, d0_ranges=None) -> jnp.ndarray:
+                       active=None, d0_ranges=None,
+                       spread=None) -> jnp.ndarray:
     """Dense-grid 3D push (exact adjoint of the pull kernel).
 
     inp: (C, *ishape) values at grid sites; grid: (*ishape, 3).
@@ -551,6 +700,12 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     per-tile private boxes (race-free by construction); the
     overlap-add and boundary fold-back run in XLA with static indices
     (adjoint contract: reference interpol/pushpull.py:262-282).
+
+    ``spread``: adaptive per-tile bases (see warp_pallas) — the splat
+    window is sized by the residual spread instead of ``max_disp``;
+    the overlap-add epilogue then applies per-tile dynamic x-offsets
+    sequentially (lax.fori_loop), y/z bases having been rolled into
+    the in-box margins by the kernel.
     """
     C = inp.shape[0]
     ishape = tuple(inp.shape[1:])
@@ -563,8 +718,16 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
-    ranges, lo, hi, S, box_shape = _geometry(
-        ishape, orders, max_disp, tile, ranges_override=ranges_override)
+    adaptive = spread is not None
+    if adaptive:
+        (ranges, lo, hi, S, box_shape,
+         Bm) = _geometry_adaptive_push(orders, max_disp, spread, tile,
+                                       ranges_override=ranges_override)
+    else:
+        ranges, lo, hi, S, box_shape = _geometry(
+            ishape, orders, max_disp, tile,
+            ranges_override=ranges_override)
+        Bm = None
 
     # extrapolation mask applies to the *values* before splatting
     vals = inp.astype(wdtype)
@@ -578,24 +741,40 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     extra = [a - n for a, n in zip(ishape_a, ishape)]
     if any(extra):
         vals = jnp.pad(vals, [(0, 0)] + [(0, e) for e in extra])
-        grid = _pad_grid_edge(grid, ishape_a)
+        if adaptive:
+            _, grid = _adaptive_disp(grid, ishape, ishape_a, wdtype)
+        else:
+            grid = _pad_grid_edge(grid, ishape_a)
     ntiles = tuple(a // t for a, t in zip(ishape_a, tile))
     pshape = tuple(a + l + h for a, l, h in zip(ishape_a, lo, hi))
 
+    bs = []
+    if adaptive:
+        from .window import _md_tuple
+        md = _md_tuple(max_disp, D)
+        iota = jnp.stack(
+            [jax.lax.broadcasted_iota(wdtype, tuple(ishape_a), d)
+             for d in range(D)], -1)
+        disp = grid.astype(wdtype) - iota
+        bs = _tile_bases(disp, md, ntiles, tile)
+
     kernel = partial(_push_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
-                     active=active, d0_ranges=d0_ranges)
+                     active=active, d0_ranges=d0_ranges,
+                     base_margin=Bm)
     gspec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (0, i, j, k),
                          memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (c, i, j, k),
                          memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     g = grid.astype(wdtype)[None]
     boxes = pl.pallas_call(
         kernel,
         grid=(C,) + ntiles,
-        in_specs=[gspec, gspec, gspec, vspec],
+        in_specs=[gspec, gspec, gspec, vspec]
+        + [sspec] * (3 if adaptive else 0),
         out_specs=pl.BlockSpec((1, 1, 1, 1) + box_shape,
                                lambda c, i, j, k: (c, i, j, k, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -603,7 +782,39 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 4),
         interpret=interpret,
-    )(g[..., 0], g[..., 1], g[..., 2], vals)
+    )(g[..., 0], g[..., 1], g[..., 2], vals, *bs)
+
+    if adaptive:
+        # sequential overlap-add with per-tile dynamic x origins (the
+        # x base cannot be applied in-kernel: dynamic rolls only exist
+        # for the sublane/lane axes)
+        NT = math.prod(ntiles)
+        bxs = bs[0]
+        boxes_f = boxes.reshape((C, NT) + box_shape)
+        acc = jnp.zeros((C,) + pshape, wdtype)
+
+        def body(t, a):
+            iy_z = t % (ntiles[1] * ntiles[2])
+            ix = t // (ntiles[1] * ntiles[2])
+            iy = iy_z // ntiles[2]
+            iz = iy_z % ntiles[2]
+            sx = (ix * tile[0] + Bm[0] + bxs[t]).astype(jnp.int32)
+            sy = (iy * tile[1]).astype(jnp.int32)
+            sz = (iz * tile[2]).astype(jnp.int32)
+            z0 = jnp.asarray(0, jnp.int32)
+            box_t = jax.lax.dynamic_slice(
+                boxes_f, (z0, t.astype(jnp.int32), z0, z0, z0),
+                (C, 1) + box_shape)[:, 0]
+            blk = jax.lax.dynamic_slice(
+                a, (z0, sx, sy, sz), (C,) + box_shape)
+            return jax.lax.dynamic_update_slice(a, blk + box_t,
+                                                (z0, sx, sy, sz))
+
+        acc = jax.lax.fori_loop(0, NT, body, acc)
+        from .window import _fold_pad_margins
+        hi_tot = [h + e for h, e in zip(hi, extra)]
+        out = _fold_pad_margins(acc, ishape, bounds, lo, hi_tot, wdtype)
+        return out.astype(out_dtype)
 
     # XLA epilogue 1: overlap-add the private boxes into the padded
     # volume — scatter-free: boxes are regularly strided (origin = tile

@@ -334,3 +334,61 @@ def test_adaptive_wide_residual_chunks_exact(monkeypatch):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
                                atol=1e-12)
+
+
+def test_adaptive_push_matches_full():
+    """Spread-aware push (per-tile base splatting) agrees with the
+    full-window push for contract-honoring grids — both unchunked and
+    with a forced tiny chunk cap on the residual window."""
+    from interpol_tpu import backend
+    from interpol_tpu.ops import window as wd
+    from jax.experimental.pallas import tpu as pltpu
+
+    md = 3.0
+    inp, grid = _smooth_case(md=md)
+    o, b = (3,) * 3, (3,) * 3
+    ref = window._push_impl(inp, grid, o, b, 1, md)
+    outp = pallas_warp.push_window_pallas(inp, grid, o, b, 1, md,
+                                          spread=(1.5, 1.5, 1.5),
+                                          tile=(8, 8, 64),
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(ref),
+                               atol=1e-12)
+
+
+@pytest.mark.slow
+def test_adaptive_push_chunked_exact(monkeypatch):
+    from interpol_tpu import backend
+    from interpol_tpu.ops import window as wd
+    from jax.experimental.pallas import tpu as pltpu
+
+    md = 3.0
+    inp, grid = _smooth_case(md=md)
+    o, b = (3,) * 3, (3,) * 3
+    ref = window._push_impl(inp, grid, o, b, 1, md)
+    monkeypatch.setattr(wd, "_ADAPTIVE_SPAN_CAP", 4)   # span 7 -> chunks
+    with backend.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+        outp = wd._push_impl(inp, grid, o, b, 1, md, (1.5, 1.5, 1.5))
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(ref),
+                               atol=1e-12)
+
+
+def test_adaptive_vjp_dinput_consistent():
+    """value_and_grad w.r.t. the MOVING image through the adaptive pull
+    (template learning) now runs the spread-aware push and equals the
+    full-window gradients for contract-honoring grids."""
+    md = 2.5
+    inp, grid = _smooth_case(N=16, md=md)
+    o, b = (3,) * 3, (3,) * 3
+    from interpol_tpu import backend
+    from jax.experimental.pallas import tpu as pltpu
+
+    def loss(v, spread):
+        return (window.pull_window(v, grid, o, b, 1, md, spread) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode(), backend.use_backend("pallas"):
+        l_a, g_a = jax.value_and_grad(loss)(inp, (1.5, 1.5, 1.5))
+    l_f, g_f = jax.value_and_grad(loss)(inp, None)
+    np.testing.assert_allclose(float(l_a), float(l_f), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_f),
+                               atol=1e-9)
