@@ -299,23 +299,30 @@ def _label_pull(input, grid, orders, bounds, ex, prefilter, classes,
 
 
 def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
-              extrapolate=False, prefilter=False, *, max_disp=None):
+              extrapolate=False, prefilter=False, *, max_disp=None,
+              tile_spread=None):
     """Splat an image at the positions of a deformation field (pull
     adjoint).  Reference api.py:215-262.  ``max_disp`` enables the
-    windowed fast path when the output shape equals the grid shape."""
+    windowed fast path when the output shape equals the grid shape;
+    ``tile_spread`` the adaptive per-tile splat windows (see
+    grid_pull)."""
     input = jnp.asarray(input)
     grid = jnp.asarray(grid)
     D = grid.shape[-1]
     orders, bounds, ex = normalize_options(interpolation, bound,
                                            extrapolate, D)
+    if tile_spread is not None and max_disp is None:
+        raise ValueError("tile_spread requires max_disp (the adaptive "
+                         "window refines the dense-warp fast path)")
     grid, inp, info = _preproc(grid, input, mode="push")
     if shape is None:
         shape = tuple(inp.shape[2:])
     shape = tuple(int(s) for s in shape)
     if (max_disp is not None and shape == tuple(inp.shape[2:])
             and tuple(grid.shape[1:-1]) == shape):
+        sp = None if tile_spread is None else _md_norm(tile_spread)
         f = lambda v, g: _window.push_window(v, g, orders, bounds, ex,
-                                             _md_norm(max_disp))
+                                             _md_norm(max_disp), sp)
         out = jax.vmap(f)(inp, grid)
     else:
         out = _pp.push(inp, grid, shape, orders, bounds, ex)

@@ -368,12 +368,18 @@ def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp,
     return out
 
 
-def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
+def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+               spread=None):
     """Exact adjoint of _pull_impl: splat values on the dense grid.
 
     inp: (C, *ishape) values at grid sites -> (C, *ishape) volume.
     Transpose of (pad -> shifted-FMA): scatter-free in the interior; the
     pad margins are folded back with static adds.
+
+    ``spread``: adaptive per-tile bases on the Pallas tier (the splat
+    window sized by the residual spread — template-learning d_input
+    stays window-small); the XLA formulation ignores it (full window, a
+    superset, identical for contract-honoring grids).
     """
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
@@ -381,18 +387,25 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp):
         from .pallas_warp import push_window_pallas
         md = _md_tuple(max_disp, D)
         if D == 3:
-            chunks = _chunk_calls(orders, md, _PUSH_SPAN_CAP)
+            if spread is not None:
+                sp = _md_tuple(spread, D)
+                res = tuple(window_range(o, s)
+                            for o, s in zip(orders, sp))
+                chunks = _chunk_ranges(res, orders, _ADAPTIVE_SPAN_CAP)
+            else:
+                chunks = _chunk_calls(orders, md, _PUSH_SPAN_CAP)
             if chunks is not None:
                 out = None
                 for geo, sub, d0r in chunks:
                     o3 = push_window_pallas(
                         inp, grid, tuple(orders), tuple(bounds),
                         extrapolate, md, ranges_override=geo,
-                        active=sub, d0_ranges=d0r)
+                        active=sub, d0_ranges=d0r, spread=spread)
                     out = o3 if out is None else out + o3
                 return out
             return push_window_pallas(inp, grid, tuple(orders),
-                                      tuple(bounds), extrapolate, md)
+                                      tuple(bounds), extrapolate, md,
+                                      spread=spread)
         if D == 2:
             zeros = jnp.zeros(grid.shape[:-1] + (1,), grid.dtype)
             grid3 = jnp.concatenate([zeros, grid], axis=-1)[None]
@@ -541,10 +554,12 @@ def _pull_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
 
 def _pull_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
     inp, grid = res
-    # d_inp via the full-window push: the exact adjoint of the
-    # full-window pull, which the adaptive pull equals for
-    # contract-honoring grids (the documented semantics)
-    d_inp = push_window(ct, grid, orders, bounds, extrapolate, max_disp)
+    # d_inp via the adjoint push — spread-aware on the native tier, so
+    # template-learning gradients w.r.t. the moving image stay
+    # residual-window-sized (VERDICT r2 #7); exact for
+    # contract-honoring grids (the documented adaptive semantics)
+    d_inp = push_window(ct, grid, orders, bounds, extrapolate, max_disp,
+                        spread)
     g = grad_window(inp, grid, orders, bounds, extrapolate, max_disp,
                     spread)
     d_grid = (g * ct[..., None]).sum(axis=0)
@@ -554,21 +569,27 @@ def _pull_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
 pull_window.defvjp(_pull_fwd, _pull_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def push_window(inp, grid, orders, bounds, extrapolate, max_disp):
-    """Dense-grid splat (exact adjoint of pull_window)."""
-    return _push_impl(inp, grid, orders, bounds, extrapolate, max_disp)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def push_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                spread=None):
+    """Dense-grid splat (exact adjoint of pull_window).  ``spread``:
+    adaptive per-tile splat windows on the Pallas tier."""
+    return _push_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+                      spread)
 
 
-def _push_fwd(inp, grid, orders, bounds, extrapolate, max_disp):
-    return push_window(inp, grid, orders, bounds, extrapolate, max_disp), \
-        (inp, grid)
+def _push_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
+              spread=None):
+    return push_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                       spread), (inp, grid)
 
 
-def _push_bwd(orders, bounds, extrapolate, max_disp, res, ct):
+def _push_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
     inp, grid = res
-    d_inp = pull_window(ct, grid, orders, bounds, extrapolate, max_disp)
-    g = grad_window(ct, grid, orders, bounds, extrapolate, max_disp)
+    d_inp = pull_window(ct, grid, orders, bounds, extrapolate, max_disp,
+                        spread)
+    g = grad_window(ct, grid, orders, bounds, extrapolate, max_disp,
+                    spread)
     d_grid = (g * inp[..., None]).sum(axis=0)
     return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype))
 
