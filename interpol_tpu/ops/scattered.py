@@ -18,21 +18,27 @@ feasibility work, scripts/tpu_kernel_lab5.py):
   2. **Schedule** (XLA): points are bucketed by box id with ONE
      ``lax.sort`` (coords ride as payload — no P-sized gather), per-box
      segments located with a vectorized ``searchsorted``, and each box
-     is given ``cap`` = 128 slots = one 128-lane row.
-  3. **Kernel** (Pallas): one program per (channel, 8-box block);
-     the block's 8 table rows arrive as a VMEM ``(8, TAB)`` operand and
-     each slot's taps are fetched with per-sublane-row
-     ``jnp.take_along_axis`` — the only dynamic-gather shape Mosaic
-     lowers (lab-5: a K-entry shared table costs a K/128-chunk
-     shuffle+select cascade per gathered element).  Cox-de Boor tap
-     weights are evaluated in-kernel; value and the three spatial
-     derivatives share every gather (fused, like the dense warp
-     kernel).
+     is given ``CAP`` = 128 slots = one 128-lane row.  No slot
+     expansion happens in XLA: the kernel fetches its own points.
+  3. **Kernel** (Pallas): one program per (channel, 8-box block); the
+     block's 8 table rows arrive as a VMEM ``(8, TAB)`` operand; the
+     block's sorted coordinates arrive via one dynamic 128-aligned DMA
+     per axis (the 8 boxes' segments are consecutive in sorted order)
+     and are placed per row with a dynamic lane roll.  Taps are
+     fetched with the per-sublane-row gather cascade — Mosaic only
+     lowers dynamic gathers within one 128-lane row, so a TAB-entry
+     table costs a TAB/128-chunk shuffle+select cascade per gathered
+     element (lab-5 measurement).  Cox-de Boor tap weights are
+     evaluated in-kernel; value and the three spatial derivatives
+     share every gather (fused, like the dense warp kernel).
   4. **Exactness**: points outside the eligible region (outside the
-     closed volume bounds) or overflowing a box's 128 slots fall back
-     to the generic XLA gather core under a single ``lax.cond`` —
-     never silently dropped; the fallback costs nothing when no such
-     point exists.
+     closed volume bounds), beyond a box's 128 slots, or in a block
+     whose slot window exceeds the coordinate-DMA slack are reported
+     unserved by the kernel's mask output and fall back to the generic
+     XLA gather core under a single ``lax.cond`` — never silently
+     dropped; the fallback costs nothing when no such point exists.
+     The slot results return to user order with one shared gather plus
+     one ``lax.sort`` (cheaper than a P-sized scatter on this part).
 
 Semantics match ops/ndkernels.pull_core / grad_core exactly (reference
 interpol/nd.py:80-143, 216-288).  The push/count family stays on the
@@ -57,7 +63,7 @@ from .splines import bspline_taps, node_origin
 from .window import _pad_folded
 
 __all__ = ["pull_scattered", "grad_scattered", "box_geometry",
-           "DEFAULT_BOX", "MIN_POINTS"]
+           "precompute_tables", "DEFAULT_BOX", "MIN_POINTS"]
 
 # Default box core: TAB = 11*11*19 = 2299 -> 2304 lanes at cubic order,
 # the shape the lab-5 cascade probe measured.  Larger cores raise slot
@@ -204,14 +210,43 @@ def _gather_rows(tab, idx):
     return out
 
 
-def _gather_kernel(tab_ref, gx_ref, gy_ref, gz_ref, valid_ref, *out_refs,
-                   orders, blo, ext, box, nb, value, grad):
+# Lanes of sorted-point data DMA'd per 8-box block: the block's valid
+# slots live at sorted positions seg[8k] .. seg[8k+7]+CAP-1; a block
+# whose span exceeds this window (requires ~2.9k overflow points in 7
+# boxes) is routed to the exact fallback wholesale.
+_SLK = 24   # window rows of 128 lanes -> 3072 lanes, 12 KB per coord
+
+
+def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
+                   *refs, orders, blo, ext, box, nb, value, grad):
     """One (channel, 8-box block) program: fused value + 3 spatial
-    derivatives for 8 rows x 128 slots, all taps fetched from the
-    block's (8, TAB) table rows."""
+    derivatives for 8 rows x 128 slots.
+
+    The block's sorted point coordinates are fetched with ONE dynamic
+    128-aligned DMA per axis (the 8 boxes' segments are consecutive in
+    sorted order); each row's 128 slots are extracted with a dynamic
+    lane roll.  Taps are fetched from the block's (8, TAB) table rows
+    via the per-sublane-row gather cascade.  An extra `served` output
+    records which slots this kernel actually computed (0 for
+    capacity/window overflow -> exact XLA fallback)."""
+    n_out = (1 if value else 0) + (3 if grad else 0)
+    out_refs = refs[:n_out + 1]           # + served mask
+    bufs = refs[n_out + 1:]               # 3 scratch windows + 3 sems
+    scr, sems = bufs[:3], bufs[3:6]
     k = pl.program_id(1)
     tab = tab_ref[0]                      # (8, TAB)
     shape = (8, 128)
+    TOT = _SLK * 128
+
+    s0 = seg_ref[8 * k]
+    a0 = (s0 // 128) * 128
+    cps = []
+    for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
+        cp = pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(a0, 128), TOT)], s, sems[i])
+        cps.append(cp)
+        cp.start()
+
     # box ids of the 8 rows -> per-axis core origins (sublane column)
     b = k * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     cz = b % nb[2]
@@ -219,7 +254,23 @@ def _gather_kernel(tab_ref, gx_ref, gy_ref, gz_ref, valid_ref, *out_refs,
     cx = b // (nb[1] * nb[2])
     base0 = [cx * box[0], cy * box[1], cz * box[2]]
 
-    gs = [gx_ref[0], gy_ref[0], gz_ref[0]]
+    for cp in cps:
+        cp.wait()
+    ok = ok_ref[k]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    rows = [[], [], []]
+    cnts = []
+    for r in range(8):
+        sr = seg_ref[8 * k + r]
+        cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
+        cnts.append(cnt)
+        off = sr - a0
+        for d in range(3):
+            flat = scr[d][...]
+            rows[d].append(pltpu.roll(flat, TOT - off, 1)[:, :128])
+    gs = [jnp.concatenate(rows[d], axis=0) for d in range(3)]
+    valid_b = lane < jnp.concatenate(
+        [jnp.full((1, 1), c, jnp.int32) for c in cnts], axis=0)
     wdtype = gs[0].dtype
     taps_w, taps_g, locs = [], [], []
     for d in range(3):
@@ -236,7 +287,7 @@ def _gather_kernel(tab_ref, gx_ref, gy_ref, gz_ref, valid_ref, *out_refs,
     span = (orders[0] * ext[1] + orders[1]) * ext[2] + orders[2]
     base = jnp.clip(base, 0, tab.shape[-1] - 1 - span)
 
-    valid = valid_ref[0].astype(wdtype)
+    valid = valid_b.astype(wdtype)
     acc_v = jnp.zeros(shape, wdtype) if value else None
     acc_d = [jnp.zeros(shape, wdtype) for _ in range(3)] if grad else None
     for jx in range(orders[0] + 1):
@@ -260,20 +311,43 @@ def _gather_kernel(tab_ref, gx_ref, gy_ref, gz_ref, valid_ref, *out_refs,
         outs.append(acc_v * valid)
     if grad:
         outs.extend(a * valid for a in acc_d)
+    outs.append(valid)                    # served mask
     for ref, acc in zip(out_refs, outs):
         ref[0, 0] = acc
 
 
+def precompute_tables(inp, orders, bounds, box):
+    """Build the (C, NB8, TAB) box-table array once for a volume that
+    will be sampled repeatedly (iterative registration, landmark
+    tracking): the build is an XLA relayout measured at ~12 ms for
+    256^3 / box (8,8,16) — about half the one-shot op (and shown by
+    scripts/tpu_kernel_lab6.py to be transpose-bound, not improvable in
+    XLA).  Pass the result as ``pre=`` to pull_scattered /
+    grad_scattered together with the SAME box/orders/bounds.  The
+    build is differentiable (pure slicing), so gradients w.r.t. the
+    volume flow through a cached table like through the volume."""
+    wdtype = jnp.promote_types(
+        jnp.result_type(inp.dtype, jnp.float32), jnp.float32)
+    tables, *_ = _build_tables(inp, tuple(inp.shape[1:]), orders,
+                               bounds, tuple(box), wdtype)
+    return tables
+
+
 def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
-                  value=True, grad=False, box=None, interpret=False):
+                  value=True, grad=False, box=None, interpret=False,
+                  pre=None):
     """Unbatched scattered pull / fused gradient.
 
     inp: (C, *ishape); grid: (P, 3).  Returns (val, g):
-    (C, P) / (C, P, 3) per the flags (None when not requested)."""
+    (C, P) / (C, P, 3) per the flags (None when not requested).
+    ``pre``: tables from :func:`precompute_tables` (requires ``box``)."""
     from . import ndkernels as nd
 
     D = grid.shape[-1]
     assert D == 3, "scattered native tier is 3-D"
+    if pre is not None and box is None:
+        raise ValueError("pre= (precomputed tables) requires the box "
+                         "they were built with")
     box = tuple(box or auto_box(inp.shape[1:], grid.shape[0]))
     C = inp.shape[0]
     P = grid.shape[0]
@@ -281,78 +355,104 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
-    tables, nb, blo, ext, tab = _build_tables(inp, ishape, orders,
-                                              bounds, box, wdtype)
+    if pre is None:
+        tables, nb, blo, ext, tab = _build_tables(inp, ishape, orders,
+                                                  bounds, box, wdtype)
+    else:
+        blo, ext, tab = box_geometry(orders, box)
+        nb = tuple(-(-n // b) for n, b in zip(ishape, box))
+        NB8 = -(-math.prod(nb) // 8) * 8
+        if tuple(pre.shape) != (C, NB8, tab):
+            raise ValueError(
+                f"precomputed tables shape {tuple(pre.shape)} does not "
+                f"match (C, NB8, TAB)=({C}, {NB8}, {tab}) for this "
+                f"volume/box/orders")
+        tables = pre.astype(wdtype)
     sch = _schedule(grid, ishape, box, nb, wdtype)
     NBtot = math.prod(nb)
     NB8 = tables.shape[1]
     NBLK = NB8 // 8
 
-    # slot layout (NB8, CAP): row b serves sorted points
-    # seg_start[b] .. seg_start[b]+CAP-1
-    seg = jnp.pad(sch["seg_start"][:NBtot], (0, NB8 - NBtot),
-                  constant_values=P)
-    counts = jnp.pad(sch["seg_start"][1:NBtot + 1] - sch["seg_start"][:NBtot],
-                     (0, NB8 - NBtot))
-    i_slot = seg[:, None] + jnp.arange(CAP, dtype=jnp.int32)[None]
-    valid = jnp.arange(CAP, dtype=jnp.int32)[None] < \
-        jnp.minimum(counts, CAP)[:, None]
-    i_slot = jnp.clip(i_slot, 0, max(P - 1, 0))
-    coords_slot = jnp.take(sch["coords"], i_slot.reshape(-1), axis=0)
-    coords_slot = coords_slot.reshape(NB8, CAP, D)
+    # per-box sorted-segment boundaries (SMEM): row b serves sorted
+    # points seg[b] .. seg[b]+CAP-1
+    seg = jnp.concatenate([
+        sch["seg_start"][:NBtot],
+        jnp.full((NB8 + 1 - NBtot,), P, jnp.int32)]).astype(jnp.int32)
+    # a block is kernel-served only if all its rows' slot windows fit
+    # the _SLK-row DMA window (fails only under extreme clustering)
+    s0 = seg[0:NB8:8]
+    s7 = seg[7:NB8:8]
+    blk_ok = ((s7 + CAP) <= ((s0 // 128) * 128 + _SLK * 128)) \
+        .astype(jnp.int32)
 
-    def blk(x):
-        return x.reshape(NBLK, 8, CAP)
-
-    gxs = blk(coords_slot[..., 0])
-    gys = blk(coords_slot[..., 1])
-    gzs = blk(coords_slot[..., 2])
-    vals = blk(valid.astype(wdtype))
+    # sorted coords as (1, R*128) lane-major rows; pad so the last
+    # block's DMA window stays in bounds
+    R = -(-P // 128) + _SLK
+    def lanes(x):
+        return jnp.pad(x, (0, R * 128 - P)).reshape(1, R * 128) \
+            .astype(wdtype)
+    cxs = lanes(sch["coords"][:, 0])
+    cys = lanes(sch["coords"][:, 1])
+    czs = lanes(sch["coords"][:, 2])
 
     n_out = (1 if value else 0) + (3 if grad else 0)
     kernel = partial(_gather_kernel, orders=tuple(orders), blo=blo,
                      ext=ext, box=box, nb=nb, value=value, grad=grad)
     tspec = pl.BlockSpec((1, 8, tab), lambda c, k: (c, k, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 8, CAP), lambda c, k: (k, 0, 0),
-                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec(memory_space=pl.ANY)
+    mspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     ospec = pl.BlockSpec((1, 1, 8, CAP), lambda c, k: (c, k, 0, 0),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(C, NBLK),
-        in_specs=[tspec, sspec, sspec, sspec, sspec],
-        out_specs=[ospec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((C, NBLK, 8, CAP), wdtype)] * n_out,
+        in_specs=[tspec, hspec, hspec, hspec, mspec, mspec],
+        out_specs=[ospec] * (n_out + 1),
+        out_shape=[jax.ShapeDtypeStruct((C, NBLK, 8, CAP), wdtype)]
+        * (n_out + 1),
+        scratch_shapes=[pltpu.VMEM((1, _SLK * 128), wdtype)] * 3
+        + [pltpu.SemaphoreType.DMA] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 2),
         interpret=interpret,
-    )(tables, gxs.astype(wdtype), gys.astype(wdtype), gzs.astype(wdtype),
-      vals)
+    )(tables, cxs, cys, czs, seg, blk_ok)
 
-    # slot results -> sorted order -> original order
+    # slot results -> sorted order (one shared gather incl. the served
+    # mask) -> original order (one lax.sort; cheaper than a P-scatter)
     keys = sch["keys"]
     rank = sch["rank"]
     elig_s = keys < NBtot
-    fb_s = (~elig_s) | (rank >= CAP)
     slot_of_s = jnp.clip(keys, 0, NB8 - 1) * CAP + jnp.minimum(rank,
                                                                CAP - 1)
     idx_s = sch["idx"]
 
-    def unsort(o_slot):
-        flat = o_slot.reshape(C, NB8 * CAP)
-        v_sorted = flat[:, slot_of_s] * (~fb_s).astype(wdtype)[None]
-        out = jnp.zeros((C, P), wdtype)
-        return out.at[:, idx_s].set(v_sorted)
+    flat = jnp.concatenate(
+        [o.reshape(C, NB8 * CAP) for o in outs[:n_out]]
+        + [outs[n_out].reshape(C, NB8 * CAP)[:1]], axis=0)
+    picked = flat[:, slot_of_s]             # (C*n_out + 1, P)
+    served = picked[-1] > 0.5
+    fb_s = (~elig_s) | (rank >= CAP) | (~served)
+    picked = picked[:-1] * (~fb_s).astype(wdtype)[None]
 
-    val_out = unsort(outs[0]) if value else None
-    g_out = jnp.stack([unsort(outs[(1 if value else 0) + d])
+    unsorted = jax.lax.sort(
+        (idx_s,) + tuple(picked[i] for i in range(C * n_out))
+        + (fb_s.astype(jnp.int32),), num_keys=1)
+    cols = unsorted[1:1 + C * n_out]
+    fb_orig = unsorted[-1] > 0
+
+    def pick(j):
+        # output j (over value/grad planes), channels stacked; flat row
+        # layout is [out0_c0..out0_cLast, out1_c0, ...]
+        return jnp.stack([cols[j * C + c] for c in range(C)], 0)
+
+    val_out = pick(0) if value else None
+    g_out = jnp.stack([pick((1 if value else 0) + d)
                        for d in range(3)], axis=-1) if grad else None
 
-    # exact fallback for ineligible / overflow points (rare): the
-    # generic gather core, masked, under one cond so the common case
-    # pays nothing
-    fb_orig = jnp.zeros((P,), bool).at[idx_s].set(fb_s)
+    # exact fallback for ineligible / overflow / unserved points
+    # (rare): the generic gather core, masked, under one cond so the
+    # common case pays nothing
     any_fb = fb_orig.any()
 
     if value:
@@ -387,21 +487,99 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
     return val_out, g_out
 
 
-def pull_scattered(inp, grid, orders, bounds, extrapolate, *,
-                   box=None, interpret=False):
-    """(C, *ishape), (P, 3) -> (C, P).  Semantics: ndkernels.pull_core
-    (reference interpol/nd.py:80-143)."""
+# ------------------------------------------------------------ AD rules
+# The public ops carry custom VJPs mirroring ops/pushpull.py's
+# composition (pull: d_inp = push, d_grid = grad . ct; grad: d_inp =
+# pushgrad, d_grid = hess . ct) so jax.grad never differentiates
+# through the pallas_call.  ``pre`` rides as a stop_gradient'd operand:
+# tables are a deterministic linear function of ``inp``, so routing the
+# WHOLE input-gradient through d_inp is exact and the d_pre path is
+# dead by construction.
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _pull_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+             interpret):
     val, _ = _scatter_impl(inp, grid, orders, bounds, extrapolate,
                            value=True, grad=False, box=box,
-                           interpret=interpret)
+                           interpret=interpret, pre=pre)
     return val
 
 
-def grad_scattered(inp, grid, orders, bounds, extrapolate, *,
-                   box=None, interpret=False):
-    """(C, *ishape), (P, 3) -> (C, P, 3).  Semantics:
-    ndkernels.grad_core (reference interpol/nd.py:216-288)."""
+def _pull_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret):
+    return _pull_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                    interpret), (inp, grid, pre)
+
+
+def _pull_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
+    from . import ndkernels as nd
+    inp, grid, pre = res
+    ishape = tuple(inp.shape[1:])
+    d_inp = nd.push_core(ct, grid, ishape, orders, bounds, extrapolate)
+    g = _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret)
+    d_grid = (g * ct[..., None]).sum(axis=0)
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
+            jnp.zeros_like(pre))
+
+
+_pull_sc.defvjp(_pull_sc_fwd, _pull_sc_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+             interpret):
     _, g = _scatter_impl(inp, grid, orders, bounds, extrapolate,
                          value=False, grad=True, box=box,
-                         interpret=interpret)
+                         interpret=interpret, pre=pre)
     return g
+
+
+def _grad_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret):
+    return _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                    interpret), (inp, grid, pre)
+
+
+def _grad_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
+    from . import ndkernels as nd
+    inp, grid, pre = res
+    ishape = tuple(inp.shape[1:])
+    d_inp = nd.pushgrad_core(ct, grid, ishape, orders, bounds,
+                             extrapolate)
+    h = nd.hess_core(inp, grid, orders, bounds, extrapolate)
+    d_grid = (h * ct[..., None]).sum(axis=(0, -2))
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
+            jnp.zeros_like(pre))
+
+
+_grad_sc.defvjp(_grad_sc_fwd, _grad_sc_bwd)
+
+
+def _resolve(inp, grid, orders, bounds, box, pre):
+    if pre is not None and box is None:
+        raise ValueError("pre= (precomputed tables) requires the box "
+                         "they were built with")
+    box = tuple(box or auto_box(inp.shape[1:], grid.shape[0]))
+    if pre is None:
+        pre = precompute_tables(inp, tuple(orders), tuple(bounds), box)
+    return box, jax.lax.stop_gradient(pre)
+
+
+def pull_scattered(inp, grid, orders, bounds, extrapolate, *,
+                   box=None, interpret=False, pre=None):
+    """(C, *ishape), (P, 3) -> (C, P).  Semantics: ndkernels.pull_core
+    (reference interpol/nd.py:80-143).  ``pre``: precomputed tables
+    (see :func:`precompute_tables`)."""
+    box, pre = _resolve(inp, grid, orders, bounds, box, pre)
+    return _pull_sc(inp, grid, pre, tuple(orders), tuple(bounds),
+                    extrapolate, box, interpret)
+
+
+def grad_scattered(inp, grid, orders, bounds, extrapolate, *,
+                   box=None, interpret=False, pre=None):
+    """(C, *ishape), (P, 3) -> (C, P, 3).  Semantics:
+    ndkernels.grad_core (reference interpol/nd.py:216-288)."""
+    box, pre = _resolve(inp, grid, orders, bounds, box, pre)
+    return _grad_sc(inp, grid, pre, tuple(orders), tuple(bounds),
+                    extrapolate, box, interpret)

@@ -103,76 +103,7 @@ def components(P=1_000_000, N=256):
         (vol, pts))
     print(f"  schedule (sort+seg): {dt*1e3:.2f} ms", flush=True)
 
-    # slot-expansion gather: (NSLOT,) monotonic-ish take from (P, D)
-    import math as _m
-    import jax as _jax
-    NBtot = _m.prod(nb)
-    NB8 = -(-NBtot // 8) * 8
-    P = pts.shape[0]
-    rng = np.random.default_rng(9)
-    coords = jnp.asarray(rng.standard_normal((P, 3)).astype(np.float32))
-    seg = jnp.sort(jnp.asarray(
-        rng.integers(0, P, (NB8,)).astype(np.int32)))
-    i_slot = jnp.clip(seg[:, None]
-                      + jnp.arange(sc.CAP, dtype=jnp.int32)[None],
-                      0, P - 1)
-    dt, _ = slope_time(
-        lambda c: (c[0],
-                   c[1].at[:, :].add(1e-9 * jnp.take(
-                       c[0] + c[1][:1, :1], i_slot.reshape(-1), axis=0
-                   ).reshape(NB8 * sc.CAP, 3).sum(0)[None])),
-        (coords, coords * 1.0))
-    print(f"  slot expansion take ({NB8 * sc.CAP} x 3): {dt*1e3:.2f} ms",
-          flush=True)
-
-    # unsort: P-gather from slots + P-scatter to original order
-    flat = jnp.asarray(rng.standard_normal(
-        (1, NB8 * sc.CAP)).astype(np.float32))
-    slot_of = jnp.asarray(np.sort(
-        rng.integers(0, NB8 * sc.CAP, (P,))).astype(np.int32))
-    idx_s = jnp.asarray(rng.permutation(P).astype(np.int32))
-    def unsort_body(c):
-        v = c[0][:, slot_of]
-        out = jnp.zeros((1, P), jnp.float32).at[:, idx_s].set(v)
-        return (c[0].at[:, :P].add(1e-9 * out), c[1])
-    dt, _ = slope_time(unsort_body, (flat, flat))
-    print(f"  unsort gather+scatter (P={P}): {dt*1e3:.2f} ms", flush=True)
-
-    # kernel alone: prebuilt tables + slot inputs
-    blo, ext, tab = sc.box_geometry(o, box)
-    tables = jnp.asarray(rng.standard_normal(
-        (1, NB8, tab)).astype(np.float32))
-    NBLK = NB8 // 8
-    gs = [jnp.asarray(rng.uniform(4, 12, (NBLK, 8, sc.CAP))
-                      .astype(np.float32)) for _ in range(3)]
-    valid = jnp.ones((NBLK, 8, sc.CAP), jnp.float32)
-    from functools import partial as _p
-    from jax.experimental import pallas as _pl
-    from jax.experimental.pallas import tpu as _pt
-    kern = _p(sc._gather_kernel, orders=o, blo=blo, ext=ext, box=box,
-              nb=nb, value=True, grad=False)
-    tspec = _pl.BlockSpec((1, 8, tab), lambda c, k: (c, k, 0),
-                          memory_space=_pt.VMEM)
-    sspec = _pl.BlockSpec((1, 8, sc.CAP), lambda c, k: (k, 0, 0),
-                          memory_space=_pt.VMEM)
-    ospec = _pl.BlockSpec((1, 1, 8, sc.CAP), lambda c, k: (c, k, 0, 0),
-                          memory_space=_pt.VMEM)
-    callk = _pl.pallas_call(
-        kern, grid=(1, NBLK),
-        in_specs=[tspec, sspec, sspec, sspec, sspec],
-        out_specs=[ospec],
-        out_shape=[jax.ShapeDtypeStruct((1, NBLK, 8, sc.CAP),
-                                        jnp.float32)],
-        compiler_params=_pt.CompilerParams(
-            dimension_semantics=("parallel",) * 2))
-    dt, _ = slope_time(
-        lambda c: (c[0].at[0, 0, :].add(
-            1e-9 * callk(c[0], c[1], gs[1], gs[2], valid)[0][0, 0, 0]),
-            c[1]),
-        (tables, gs[0]))
-    nslots = NB8 * sc.CAP
-    print(f"  kernel only ({nslots} slots, TAB={tab}): {dt*1e3:.2f} ms "
-          f"-> {nslots/dt/1e9:.3f} Gslot/s", flush=True)
+    print("  (kernel + epilogue = end-to-end minus the above)", flush=True)
 
 
 def main():

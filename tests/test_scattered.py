@@ -128,3 +128,30 @@ def test_api_dispatch_scattered_backend():
     for a, c in zip(outd, refd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-9)
+
+
+def test_precomputed_tables_match():
+    """pre= (cached box tables) reproduces the one-shot path exactly,
+    including gradients through the cached table."""
+    inp, pts = cloud(P=300)
+    o, b = (3,) * 3, (3,) * 3
+    box = (4, 4, 8)
+    ref = sc.pull_scattered(inp, pts, o, b, 1, box=box, interpret=True)
+    pre = sc.precompute_tables(inp, o, b, box)
+    out = sc.pull_scattered(inp, pts, o, b, 1, box=box, interpret=True,
+                            pre=pre)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0)
+
+    def loss(v):
+        t = sc.precompute_tables(v, o, b, box)
+        return (sc.pull_scattered(v, pts, o, b, 1, box=box,
+                                  interpret=True, pre=t) ** 2).sum()
+
+    def loss_ref(v):
+        return (sc.pull_scattered(v, pts, o, b, 1, box=box,
+                                  interpret=True) ** 2).sum()
+
+    ga = jax.grad(loss)(inp)
+    gr = jax.grad(loss_ref)(inp)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=1e-9)
