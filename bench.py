@@ -166,8 +166,8 @@ def bench_secondary(n=256, order=3, max_disp=2.0):
         (vol, grid))
     out["push_gvox"] = round(n ** 3 / dt / 1e9, 4)
     dt = slope_time(
-        lambda c: (wd.grad_window(c[0], c[1], o, b, 1, max_disp)[..., 0]
-                   [None], c[1]),
+        lambda c: (wd.grad_window(c[0], c[1], o, b, 1, max_disp)[..., 0],
+                   c[1]),
         (vol, grid))
     out["grad_gvox"] = round(n ** 3 / dt / 1e9, 4)
     dt = slope_time(

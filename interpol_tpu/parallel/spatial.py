@@ -22,6 +22,17 @@ voxels of its own slab (axis-0 displacement bound).  The required halo is
 node-origin convention, reference nd.py:45-49) — see :func:`halo_width`.
 Positions violating the contract produce garbage only for themselves.
 
+Semantics note (changed in round 2): when the grid is dense-warp shaped
+and ``max_disp > 0``, pull/grad/push_sharded default to the *windowed*
+fast path (``use_window=None`` → auto), which makes ``max_disp`` a hard
+per-axis window bound on EVERY axis — samples displaced beyond it lose
+taps exactly like single-device ``grid_pull(max_disp=...)``.  Previously
+``max_disp`` only sized the axis-0 halo, so displacements slightly above
+the declared bound (but within the halo) still sampled exactly.  Callers
+relying on that slack should pass ``use_window=False`` to keep the
+gather-core behavior (halo-bound only), or declare an honest
+``max_disp``.
+
 Collectives ride the mesh axis (ICI on TPU): two ``ppermute`` per op,
 payload ``B*C*H*prod(rest)`` elements — independent of the slab size.
 """
