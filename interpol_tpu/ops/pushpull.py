@@ -43,8 +43,9 @@ def _flat_grid(grid: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
 
 
 def _scattered_ok(D: int, P: int) -> bool:
-    """Route the pull family through the scattered native tier
-    (ops/scattered.py) when the backend and problem shape warrant it.
+    """Route the pull/push/count/grad families through the scattered
+    native tier (ops/scattered.py) when the backend and problem shape
+    warrant it.
 
     The documented density/size threshold for the ``auto`` backend:
     3-D, at least ``scattered.MIN_POINTS`` sample points (below that
@@ -119,6 +120,12 @@ def _push_impl(inp, grid, oshape, orders, bounds, extrapolate):
     gflat, gshape = _flat_grid(grid)
     B, C = inp.shape[:2]
     vals = inp.reshape(B, C, -1)                      # (B, C, P)
+    if _scattered_ok(grid.shape[-1], gflat.shape[1]):
+        from .scattered import push_scattered
+        return jnp.stack([
+            push_scattered(vals[b], gflat[b], tuple(oshape), orders,
+                           bounds, extrapolate)
+            for b in range(B)])
     core = partial(nd.push_core, oshape=tuple(oshape), orders=orders,
                    bounds=bounds, extrapolate=extrapolate)
     return jax.vmap(core)(vals, gflat)                # (B, C, *oshape)
@@ -150,6 +157,12 @@ def count(grid, oshape, orders, bounds, extrapolate):
 
 def _count_impl(grid, oshape, orders, bounds, extrapolate):
     gflat, _ = _flat_grid(grid)
+    if _scattered_ok(grid.shape[-1], gflat.shape[1]):
+        from .scattered import count_scattered
+        return jnp.stack([
+            count_scattered(gflat[b], tuple(oshape), orders, bounds,
+                            extrapolate)
+            for b in range(gflat.shape[0])])
     core = partial(nd.count_core, oshape=tuple(oshape), orders=orders,
                    bounds=bounds, extrapolate=extrapolate)
     return jax.vmap(core)(gflat)

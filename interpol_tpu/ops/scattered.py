@@ -41,9 +41,22 @@ feasibility work, scripts/tpu_kernel_lab5.py):
      one ``lax.sort`` (cheaper than a P-sized scatter on this part).
 
 Semantics match ops/ndkernels.pull_core / grad_core exactly (reference
-interpol/nd.py:80-143, 216-288).  The push/count family stays on the
-XLA scatter core: Mosaic has no scatter primitive, and a segment-sum
-formulation was not competitive in the round-2 lab probes.
+interpol/nd.py:80-143, 216-288).
+
+**Push / count** (the splat adjoints) use the same box decomposition
+with a *densifying* kernel: Mosaic has no scatter primitive, so each
+box's splats are accumulated as a dense ``(Ex, Ey*Ez)`` patch built by
+ONE MXU matmul per box — ``A (Ex, 128 slots)`` carries per-slot x-axis
+weights times values (placed with static-iota one-hot compares) and
+``B (128 slots, Ey*Ez)`` the per-slot separable y/z weight outer
+products; ``A @ B`` sums over slots on the MXU, race-free by
+construction.  The patches are folded back into the volume by the
+exact transpose of the box relayout (static strided overlap-adds) and
+:func:`window._fold_pad_margins` (boundary adjoint).  Per-slot taps
+arrive pre-evaluated from XLA in both lane-major (for ``A``) and
+sublane-major (for ``B``) layouts, so the kernel needs no in-kernel
+transposes or dynamic DMA.  Overflow / ineligible points take the
+exact XLA scatter-core fallback, like the pull family.
 """
 from __future__ import annotations
 
@@ -60,10 +73,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .bounds import fold_index, fold_sign
 from .ndkernels import inbounds_mask
 from .splines import bspline_taps, node_origin
-from .window import _pad_folded
+from .window import _pad_folded, _fold_pad_margins
 
-__all__ = ["pull_scattered", "grad_scattered", "box_geometry",
-           "precompute_tables", "DEFAULT_BOX", "MIN_POINTS"]
+__all__ = ["pull_scattered", "grad_scattered", "push_scattered",
+           "count_scattered", "box_geometry", "precompute_tables",
+           "DEFAULT_BOX", "MIN_POINTS"]
 
 # Default box core: TAB = 11*11*19 = 2299 -> 2304 lanes at cubic order,
 # the shape the lab-5 cascade probe measured.  Larger cores raise slot
@@ -149,11 +163,13 @@ def _build_tables(inp: jnp.ndarray, ishape, orders, bounds, box, wdtype):
     return v, nb, blo, ext, tab
 
 
-def _schedule(grid: jnp.ndarray, ishape, box, nb, wdtype):
+def _schedule(grid: jnp.ndarray, ishape, box, nb, wdtype, extra=()):
     """Sort points by box id; return per-sorted-point and per-box data.
 
     Returns dict with: keys_sorted (P,), coords_sorted (P, D),
     idx_sorted (P,), seg_start (NBtot+1,), rank (P,), eligible (P,).
+    ``extra``: additional (P,)-shaped payload arrays to carry through
+    the sort (push values); returned under ``extra`` in sorted order.
     """
     D = grid.shape[-1]
     P = grid.shape[0]
@@ -171,8 +187,8 @@ def _schedule(grid: jnp.ndarray, ishape, box, nb, wdtype):
     keys = jnp.where(elig, cid, NBtot).astype(jnp.int32)
     iota = jnp.arange(P, dtype=jnp.int32)
     sorted_ops = jax.lax.sort(
-        (keys,) + tuple(g[..., d] for d in range(D)) + (iota,),
-        num_keys=1)
+        (keys,) + tuple(g[..., d] for d in range(D)) + (iota,)
+        + tuple(extra), num_keys=1)
     keys_s = sorted_ops[0]
     coords_s = jnp.stack(sorted_ops[1:1 + D], axis=-1)
     idx_s = sorted_ops[1 + D]
@@ -186,7 +202,8 @@ def _schedule(grid: jnp.ndarray, ishape, box, nb, wdtype):
         jnp.maximum, jnp.where(first, iota, 0))
     rank = iota - seg_of_i
     return dict(keys=keys_s, coords=coords_s, idx=idx_s,
-                seg_start=seg_start, rank=rank)
+                seg_start=seg_start, rank=rank,
+                extra=tuple(sorted_ops[2 + D:]))
 
 
 def _gather_rows(tab, idx):
@@ -583,3 +600,244 @@ def grad_scattered(inp, grid, orders, bounds, extrapolate, *,
     box, pre = _resolve(inp, grid, orders, bounds, box, pre)
     return _grad_sc(inp, grid, pre, tuple(orders), tuple(bounds),
                     extrapolate, box, interpret)
+
+
+# ----------------------------------------------------------- push/count
+# Splat adjoints on the native tier: box-densifying MXU kernel (module
+# docstring).  Semantics: ndkernels.push_core / count_core (reference
+# interpol/nd.py:146-213, pushpull.py:106-142).
+
+def _push_kernel(lm_ref, sm_ref, vv_ref, out_ref, *, orders, ext,
+                 expad, eyzpad):
+    """One (channel, 8-box block) program: densify 8 boxes' splats.
+
+    lm (8, 1+ox+1, 128): lane-major per-slot x data [loc_x, wx taps];
+    sm (8, 128, NCOL): sublane-major per-slot y/z data
+        [loc_y, loc_z, wy taps, wz taps];
+    vv (1, 8, 1, 128): per-slot values (pre-masked by slot validity;
+        the extra unit dim keeps the row index off the tiled dims so
+        the loop's dynamic load is a free leading-dim offset);
+    out (1, 8, expad, eyzpad): dense per-box patches, layout
+        [X, Y*Ez + Z].
+
+    Per box: A[X, s] = sum_j wx[j,s]·[X == lx[s]+j]·v[s]  (one-hot
+    placement against a static iota),  B[s, YZ] = sum_{jy,jz}
+    wy[jy,s]·wz[jz,s]·[YZ == (ly[s]+jy)·Ez + lz[s]+jz],  and the slot
+    sum is ONE MXU matmul A @ B.  Invalid slots carry v = 0, zeroing
+    their A column and with it any garbage in their B row.  All
+    integer-valued floats involved are exact in f32 (< 2^24).
+
+    The 8 rows run in a ``fori_loop`` (dynamic indices land only on
+    non-tiled leading dims; value-level lane slices are static): a
+    Python unroll left ~300 independent (128, eyzpad) intermediates
+    live and Mosaic stack-allocated them all — 17.6 MB of scoped VMEM,
+    over the 16 MB limit (observed r3).  The sequential loop bounds the
+    live set to one row's accumulation chain."""
+    o0, o1, o2 = orders
+    Ex, Ey, Ez = ext
+    wdtype = out_ref.dtype
+    # Mosaic lowers integer iota only; the compares run in float
+    # (all index values are exact small ints)
+    Xi = jax.lax.broadcasted_iota(jnp.int32, (expad, 128), 0
+                                  ).astype(wdtype)
+    YZi = jax.lax.broadcasted_iota(jnp.int32, (128, eyzpad), 1
+                                   ).astype(wdtype)
+
+    def row(r, carry):
+        lmr = lm_ref[r]                            # (NPX, 128)
+        smr = sm_ref[r]                            # (128, NCOL)
+        vr = vv_ref[0, r]                          # (1, 128)
+        lx = lmr[0:1]                              # (1, 128)
+        A = jnp.zeros((expad, 128), wdtype)
+        for j in range(o0 + 1):
+            A = A + jnp.where(Xi == lx + j, lmr[1 + j:2 + j] * vr,
+                              jnp.zeros((), wdtype))
+        ly = smr[:, 0:1]                           # (128, 1)
+        lz = smr[:, 1:2]
+        B = jnp.zeros((128, eyzpad), wdtype)
+        for jy in range(o1 + 1):
+            wy = smr[:, 2 + jy:3 + jy]
+            iy = (ly + jy) * Ez
+            for jz in range(o2 + 1):
+                wz = smr[:, 3 + o1 + jz:4 + o1 + jz]
+                B = B + jnp.where(YZi == iy + (lz + jz), wy * wz,
+                                  jnp.zeros((), wdtype))
+        # HIGHEST: the MXU's default f32 precision is a single bf16
+        # pass (~3e-3 relative error, observed on-chip r3); the splat
+        # contract is <= 1e-5 vs the scatter core
+        out_ref[0, r] = jnp.dot(A, B, preferred_element_type=wdtype,
+                                precision=jax.lax.Precision.HIGHEST)
+        return carry
+
+    jax.lax.fori_loop(0, 8, row, 0)
+
+
+def _combine_axis(x, nb_d, b_d, e_d):
+    """Adjoint of the box build's strided-slice stacking along the last
+    two axes: (..., NB, E) -> (..., NB*b + e - b) overlap-add."""
+    Pd = nb_d * b_d + e_d - b_d
+    out = jnp.zeros(x.shape[:-2] + (Pd,), x.dtype)
+    for j in range(e_d):
+        out = out.at[..., j:j + nb_d * b_d:b_d].add(x[..., j])
+    return out
+
+
+def _push_sc_impl(vals, grid, oshape, orders, bounds, extrapolate,
+                  box, interpret):
+    """Unbatched scattered splat: (C, P), (P, 3) -> (C, *oshape)."""
+    from . import ndkernels as nd
+
+    D = grid.shape[-1]
+    assert D == 3, "scattered native tier is 3-D"
+    C, P = vals.shape
+    oshape = tuple(oshape)
+    out_dtype = jnp.result_type(vals.dtype, grid.dtype)
+    wdtype = jnp.promote_types(out_dtype, jnp.float32)
+    blo, ext, _ = box_geometry(orders, box)
+    nb = tuple(-(-n // b) for n, b in zip(oshape, box))
+    NBtot = math.prod(nb)
+    NB8 = -(-NBtot // 8) * 8
+    NBLK = NB8 // 8
+    Ex, Ey, Ez = ext
+    expad = -(-Ex // 8) * 8
+    eyz = Ey * Ez
+    eyzpad = -(-eyz // 128) * 128
+
+    sch = _schedule(grid, oshape, box, nb, wdtype,
+                    extra=tuple(vals[c].astype(wdtype)
+                                for c in range(C)))
+
+    # slot expansion in XLA (the kernel is pure compute): slot (b, l)
+    # holds sorted point seg[b] + l
+    sl = sch["seg_start"].astype(jnp.int32)
+    s0 = jnp.pad(sl[:NBtot], (0, NB8 - NBtot), constant_values=P)
+    s1 = jnp.pad(sl[1:NBtot + 1], (0, NB8 - NBtot), constant_values=P)
+    lane = jnp.arange(CAP, dtype=jnp.int32)
+    pos_raw = s0[:, None] + lane[None]
+    pos = jnp.clip(pos_raw, 0, max(P - 1, 0))            # (NB8, CAP)
+    valid = pos_raw < s1[:, None]                        # (NB8, CAP)
+    coords_slot = sch["coords"][pos]                     # (NB8, CAP, 3)
+    vmask = valid.astype(wdtype)
+    vv = jnp.stack([e[pos] for e in sch["extra"]]) * vmask[None]
+    vv = vv[:, :, None, :]                 # (C, NB8, 1, CAP): see kernel
+
+    bidx = jnp.arange(NB8, dtype=jnp.int32)
+    corig = [(bidx // (nb[1] * nb[2])) * box[0],
+             ((bidx // nb[2]) % nb[1]) * box[1],
+             (bidx % nb[2]) * box[2]]
+    locs, taps = [], []
+    for d in range(3):
+        n0, t = node_origin(coords_slot[..., d], orders[d])
+        w, _, _ = bspline_taps(t, orders[d])
+        loc = n0 - (corig[d][:, None] - blo[d])
+        # clamp garbage (invalid-slot) locs so the one-hot index stays
+        # finite/exact in f32; their value is already zeroed
+        locs.append(jnp.clip(loc, 0, ext[d] - 1).astype(wdtype))
+        taps.append([wj.astype(wdtype) for wj in w])
+
+    lm = jnp.stack([locs[0]] + taps[0], axis=1)          # (NB8, 2+o0, CAP)
+    sm = jnp.stack([locs[1], locs[2]] + taps[1] + taps[2],
+                   axis=-1)                              # (NB8, CAP, NCOL)
+
+    npx = lm.shape[1]
+    ncol = sm.shape[-1]
+    kernel = partial(_push_kernel, orders=tuple(orders), ext=ext,
+                     expad=expad, eyzpad=eyzpad)
+    out_k = pl.pallas_call(
+        kernel,
+        grid=(C, NBLK),
+        in_specs=[
+            pl.BlockSpec((8, npx, CAP), lambda c, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CAP, ncol), lambda c, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 1, CAP), lambda c, k: (c, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, expad, eyzpad),
+                               lambda c, k: (c, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, NB8, expad, eyzpad), wdtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 2),
+        interpret=interpret,
+    )(lm, sm, vv)
+
+    # inverse box relayout: patches -> padded volume (overlap-add), then
+    # fold the pad margins back through the boundaries
+    patches = out_k[:, :NBtot, :Ex, :eyz].reshape(
+        (C,) + nb + (Ex, Ey, Ez))
+    patches = patches.transpose(0, 1, 4, 2, 5, 3, 6)
+    x = _combine_axis(patches, nb[2], box[2], ext[2])
+    x = jnp.moveaxis(x, 5, 3)              # (C, NBx, Ex, Pz, NBy, Ey)
+    x = _combine_axis(x, nb[1], box[1], ext[1])
+    x = x.transpose(0, 3, 4, 1, 2)         # (C, Pz, Py, NBx, Ex)
+    x = _combine_axis(x, nb[0], box[0], ext[0])
+    x = x.transpose(0, 3, 2, 1)            # (C, Px, Py, Pz)
+    lo = list(blo)
+    hi = [nbd * bd - n + e - bd - bl
+          for nbd, bd, n, e, bl in zip(nb, box, oshape, ext, blo)]
+    vol = _fold_pad_margins(x, oshape, bounds, lo, hi, wdtype)
+
+    # exact fallback for ineligible / capacity-overflow points: the XLA
+    # scatter core, under one cond so the common case pays nothing
+    served_s = (sch["keys"] < NBtot) & (sch["rank"] < CAP)
+    unsorted = jax.lax.sort(
+        (sch["idx"], (~served_s).astype(jnp.int32)), num_keys=1)
+    fb_orig = unsorted[1] > 0
+    any_fb = fb_orig.any()
+
+    def fb_run(_):
+        return nd.push_core(
+            vals.astype(wdtype) * fb_orig[None].astype(wdtype),
+            grid, oshape, tuple(orders), tuple(bounds),
+            extrapolate).astype(wdtype)
+
+    vol = vol + jax.lax.cond(
+        any_fb, fb_run, lambda _: jnp.zeros((C,) + oshape, wdtype), 0)
+    return vol.astype(out_dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _push_sc(vals, grid, oshape, orders, bounds, extrapolate, box,
+             interpret):
+    return _push_sc_impl(vals, grid, oshape, orders, bounds,
+                         extrapolate, box, interpret)
+
+
+def _push_sc_fwd(vals, grid, oshape, orders, bounds, extrapolate, box,
+                 interpret):
+    return _push_sc(vals, grid, oshape, orders, bounds, extrapolate,
+                    box, interpret), (vals, grid)
+
+
+def _push_sc_bwd(oshape, orders, bounds, extrapolate, box, interpret,
+                 res, ct):
+    vals, grid = res
+    d_vals = pull_scattered(ct, grid, orders, bounds, extrapolate,
+                            box=box, interpret=interpret)
+    g = grad_scattered(ct, grid, orders, bounds, extrapolate, box=box,
+                       interpret=interpret)       # (C, P, 3)
+    d_grid = (g * vals[..., None]).sum(axis=0)
+    return (d_vals.astype(vals.dtype), d_grid.astype(grid.dtype))
+
+
+_push_sc.defvjp(_push_sc_fwd, _push_sc_bwd)
+
+
+def push_scattered(vals, grid, oshape, orders, bounds, extrapolate, *,
+                   box=None, interpret=False):
+    """(C, P), (P, 3) -> (C, *oshape).  Semantics: ndkernels.push_core
+    (reference interpol/nd.py:146-213)."""
+    box = tuple(box or auto_box(tuple(oshape), grid.shape[0]))
+    return _push_sc(vals, grid, tuple(oshape), tuple(orders),
+                    tuple(bounds), extrapolate, box, interpret)
+
+
+def count_scattered(grid, oshape, orders, bounds, extrapolate, *,
+                    box=None, interpret=False):
+    """(P, 3) -> (1, *oshape): splatted unit weights (reference
+    interpol/pushpull.py:106-142)."""
+    ones = jnp.ones((1, grid.shape[0]), dtype=grid.dtype)
+    return push_scattered(ones, grid, oshape, orders, bounds,
+                          extrapolate, box=box, interpret=interpret)

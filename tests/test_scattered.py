@@ -155,3 +155,118 @@ def test_precomputed_tables_match():
     ga = jax.grad(loss)(inp)
     gr = jax.grad(loss_ref)(inp)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=1e-9)
+
+
+# ------------------------------------------------------------ push/count
+
+@pytest.mark.parametrize("orders,bounds,ex", [
+    ((3, 3, 3), (3, 3, 3), 1),
+    ((1, 1, 1), (6, 6, 6), 1),
+    pytest.param((3, 2, 1), (0, 4, 5), 0, marks=pytest.mark.slow),
+    ((0, 3, 3), (2, 2, 2), 1),
+    pytest.param((5, 5, 5), (1, 1, 1), 2, marks=pytest.mark.slow),
+])
+def test_scattered_push_matches_core(orders, bounds, ex):
+    """The box-densifying MXU push kernel matches the XLA scatter core
+    exactly (all bounds, mixed orders, extrapolation modes)."""
+    inp, pts = cloud()
+    C, P = 2, pts.shape[0]
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(rng.standard_normal((C, P)))
+    ish = tuple(inp.shape[1:])
+    ref = nd.push_core(vals, pts, ish, orders, bounds, ex)
+    out = sc.push_scattered(vals, pts, ish, orders, bounds, ex,
+                            box=(4, 4, 8), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+
+@pytest.mark.parametrize("ex", [0, 1])
+def test_scattered_push_fallbacks(ex):
+    """Out-of-volume points and box-capacity overflow route through the
+    exact scatter-core fallback (incl. ex=0 points inside the inbounds
+    threshold but outside the closed volume)."""
+    rng = np.random.default_rng(8)
+    ish = (16, 16, 32)
+    vals = jnp.asarray(rng.standard_normal((1, 500)))
+    pts = np.concatenate([
+        rng.uniform([4.0, 4.0, 8.0], [7.5, 7.5, 15.5], (300, 3)),
+        rng.uniform(-3.0, np.asarray(ish) + 2.0, (150, 3)),
+        rng.uniform(-0.04, 0.04, (50, 3)),     # in-threshold, ineligible
+    ])
+    pts = jnp.asarray(pts)
+    o, b = (3,) * 3, (3,) * 3
+    ref = nd.push_core(vals, pts, ish, o, b, ex)
+    out = sc.push_scattered(vals, pts, ish, o, b, ex, box=(4, 4, 8),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+
+def test_scattered_count_and_vjp():
+    """count = push of ones; push VJP matches the scatter core's
+    (d_vals via scattered pull, d_grid via scattered grad)."""
+    inp, pts = cloud(P=300)
+    ish = tuple(inp.shape[1:])
+    o, b = (3,) * 3, (3,) * 3
+    refc = nd.count_core(pts, ish, o, b, 1)
+    outc = sc.count_scattered(pts, ish, o, b, 1, box=(4, 4, 8),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(outc), np.asarray(refc),
+                               atol=1e-11)
+
+    rng = np.random.default_rng(9)
+    vals = jnp.asarray(rng.standard_normal((2, pts.shape[0])))
+
+    def f_sc(v, p):
+        return (sc.push_scattered(v, p, ish, o, b, 1, box=(4, 4, 8),
+                                  interpret=True) ** 2).sum()
+
+    def f_nd(v, p):
+        return (nd.push_core(v, p, ish, o, b, 1) ** 2).sum()
+
+    for a, c in zip(jax.grad(f_sc, argnums=(0, 1))(vals, pts),
+                    jax.grad(f_nd, argnums=(0, 1))(vals, pts)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
+
+
+def test_api_dispatch_scattered_push_count():
+    """grid_push / grid_count on point clouds route through the
+    scattered native tier under the pallas backend and match the XLA
+    scatter path, including through the custom VJPs."""
+    import interpol_tpu as itp
+    from interpol_tpu import backend
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(10)
+    ish = (12, 16, 32)
+    pts = jnp.asarray(rng.uniform(0, np.asarray(ish) - 1,
+                                  (900, 1, 1, 3)))
+    vals = jnp.asarray(rng.standard_normal((2, 900, 1, 1)))
+
+    ref = itp.grid_push(vals, pts, shape=ish, interpolation=3,
+                        bound="dct2", extrapolate=True)
+    refc = itp.grid_count(pts, shape=ish, interpolation=3,
+                          bound="dct2", extrapolate=True)
+
+    def loss(v, g):
+        return (itp.grid_push(v, g, shape=ish, interpolation=3,
+                              bound="dct2", extrapolate=True) ** 2).sum()
+
+    refd = jax.grad(loss, argnums=(0, 1))(vals, pts)
+
+    with backend.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+        out = itp.grid_push(vals, pts, shape=ish, interpolation=3,
+                            bound="dct2", extrapolate=True)
+        outc = itp.grid_count(pts, shape=ish, interpolation=3,
+                              bound="dct2", extrapolate=True)
+        outd = jax.grad(loss, argnums=(0, 1))(vals, pts)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(outc), np.asarray(refc),
+                               atol=1e-11)
+    for a, c in zip(outd, refd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
