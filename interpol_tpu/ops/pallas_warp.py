@@ -71,19 +71,26 @@ __all__ = ["warp_pallas", "push_window_pallas", "default_tile",
            "pull_window_pallas"]
 
 
-def default_tile(ishape: Tuple[int, ...] = None):
+def default_tile(ishape: Tuple[int, ...] = None, push: bool = False):
     """Best-measured tile on v5e (scripts/tpu_tile_sweep.py, lab runs).
     Any 3-D volume is eligible: the wrappers pad internally to tile
     alignment and slice the result.  Returns None for non-3-D shapes.
 
-    When the last axis is not a 128-multiple, a FULL-SPAN z tile
+    PULL: when the last axis is not a 128-multiple, a FULL-SPAN z tile
     avoids the round-up-to-128 alignment margin (Mosaic accepts
     non-128 lane dims only as full spans): 192^3 paid a 33% padding
-    tax on 128-tiles (BASELINE.md round-2 note)."""
+    tax on 128-tiles (BASELINE.md round-2 note); full-span measured
+    0.94 -> 1.73 Gvox/s at 192^3 cubic.  PUSH keeps the padded
+    128-tile: its transposed placement (private box + overlap-add
+    epilogue) measured ~30% SLOWER with the 192 full-span tile
+    (suite r3: 0.76 vs 1.09 Gvox/s) — the wider tile box inflates the
+    sequential in-box accumulation, and the padding margin it avoids
+    is epilogue-side (cheap) rather than DMA-side."""
     if ishape is not None and len(ishape) != 3:
         return None
     tz = 128
-    if ishape is not None and ishape[2] % 128 != 0 and ishape[2] <= 384:
+    if (not push and ishape is not None and ishape[2] % 128 != 0
+            and ishape[2] <= 384):
         tz = int(ishape[2])
     return (8, 8, tz)
 
@@ -709,7 +716,7 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     """
     C = inp.shape[0]
     ishape = tuple(inp.shape[1:])
-    tile = tile or default_tile(ishape)
+    tile = tile or default_tile(ishape, push=True)
     D = 3
     if tile is None:
         raise ValueError("push_window_pallas is 3-D only")

@@ -17,6 +17,7 @@ Usage:  python scripts/bench_suite.py [quick|full|step]
 """
 import itertools
 import json
+import math
 import os
 import sys
 import time
@@ -31,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scripts_common import wait_healthy, slope_time  # noqa: E402
 
+HARNESS = "slope_fori_r3"   # bumped per kernel-generation: re-measures all keys
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_SUITE.jsonl")
 
@@ -38,7 +40,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(
 def record(entry):
     entry["device"] = str(jax.devices()[0])
     entry["ts"] = time.time()
-    entry["harness"] = "slope_fori_r2"
+    entry["harness"] = HARNESS
     with open(OUT, "a") as f:
         f.write(json.dumps(entry) + "\n")
     print(json.dumps(entry), flush=True)
@@ -50,11 +52,25 @@ def done_keys():
         for line in open(OUT):
             try:
                 e = json.loads(line)
-                if e.get("harness") == "slope_fori_r2" and "error" not in e:
+                if e.get("harness") == HARNESS and "error" not in e:
                     keys.add(e["key"])
             except Exception:
                 pass
     return keys
+
+
+def _adaptive_slope(body, args, R1=2, R2=12):
+    """slope_time, re-measured with a longer chain when the first
+    slope's total contrast is under ~20 ms (sub-ms ops at the default
+    R2=12 sit below the tunnel's dispatch-floor noise and can report a
+    0.0 slope — observed for order-1/coeff/resize at 128^3)."""
+    dt, ts = slope_time(body, args, R1=R1, R2=R2)
+    if dt * (R2 - R1) < 0.02:
+        need = int(math.ceil(0.03 / max(dt, 2e-5)))
+        R2b = min(R1 + need, 2048)
+        if R2b > R2:
+            dt, ts = slope_time(body, args, R1=R1, R2=R2b)
+    return dt, ts
 
 
 def bench_op(op, n, order, dtype_name, max_disp=2.0):
@@ -69,7 +85,7 @@ def bench_op(op, n, order, dtype_name, max_disp=2.0):
     if op == "coeff":
         # very fast op: widen the chain-length contrast so the slope
         # rises above queue noise
-        dt, _ = slope_time(
+        dt, _ = _adaptive_slope(
             lambda c: (cf.spline_coeff_nd(c[0], o, b, 3),), (vol,),
             R1=2, R2=62)
         return dt
@@ -90,7 +106,7 @@ def bench_op(op, n, order, dtype_name, max_disp=2.0):
             return (g[..., 0].astype(dtype)
                     + (1e-6 * (g[..., 1] + g[..., 2])).astype(dtype),
                     c[1])
-    dt, _ = slope_time(body, (vol, grid))
+    dt, _ = _adaptive_slope(body, (vol, grid))
     return dt
 
 
@@ -109,7 +125,7 @@ def bench_adaptive(n, md):
     grid = jnp.asarray(ident + d)
     o, b = (3,) * 3, (3,) * 3
     sp = (0.75, 0.75, 0.75)
-    dt, _ = slope_time(
+    dt, _ = _adaptive_slope(
         lambda c: (wdm.pull_window(c[0], c[1], o, b, 1, float(md), sp),
                    c[1]),
         (vol, grid), R1=2, R2=42)
@@ -126,7 +142,7 @@ def bench_2d(n, order=3, max_disp=2.0):
     grid = jnp.asarray(ident + rng.uniform(-max_disp, max_disp,
                                            ident.shape).astype(np.float32))
     o, b = (order,) * 2, (3,) * 2
-    dt, _ = slope_time(
+    dt, _ = _adaptive_slope(
         lambda c: (wdm.pull_window(c[0], c[1], o, b, 1, max_disp), c[1]),
         (vol, grid), R1=2, R2=42)
     return dt
@@ -139,7 +155,7 @@ def bench_resize(n, factor=2):
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.standard_normal((1, 1, n, n, n))
                       .astype(np.float32))
-    dt, _ = slope_time(
+    dt, _ = _adaptive_slope(
         lambda c: (resize(c[0], factor=[factor] * 3, interpolation=3,
                           prefilter=True)[..., :n, :n, :n] * (1 / factor),
                    ),

@@ -80,6 +80,54 @@ def bench_xla_core(P=100_000, N=256):
     return gpt
 
 
+def parity_push(n=64, P=20000):
+    vol, pts = data(P, n, seed=4)
+    o, b = (3,) * 3, (3,) * 3
+    rng = np.random.default_rng(5)
+    vals = jnp.asarray(rng.standard_normal((1, P)).astype(np.float32))
+    ref = jax.jit(lambda v, p: nd.push_core(v, p, (n,) * 3, o, b, 1)
+                  )(vals, pts)
+    out = jax.jit(lambda v, p: sc.push_scattered(v, p, (n,) * 3, o, b,
+                                                 1))(vals, pts)
+    err = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    print(f"parity push(rel)={err:.2e}", flush=True)
+    return err
+
+
+def bench_push(P=1_000_000, N=256):
+    vol, pts = data(P, N, seed=6)
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(rng.standard_normal((1, P)).astype(np.float32))
+    o, b = (3,) * 3, (3,) * 3
+
+    def body(c):
+        out = sc.push_scattered(c[0], c[1], (N,) * 3, o, b, 1)
+        return (c[0], c[1] + 1e-9 * out[0, 0, 0, :3])
+
+    dt, _ = slope_time(body, (vals, pts))
+    gpt = P / dt / 1e9
+    print(f"push_scattered P={P} N={N}: {dt*1e3:.2f} ms -> "
+          f"{gpt:.4f} Gpt/s", flush=True)
+    return gpt, dt
+
+
+def bench_xla_push(P=100_000, N=256):
+    vol, pts = data(P, N, seed=8)
+    rng = np.random.default_rng(9)
+    vals = jnp.asarray(rng.standard_normal((1, P)).astype(np.float32))
+    o, b = (3,) * 3, (3,) * 3
+
+    def body(c):
+        out = nd.push_core(c[0], c[1], (N,) * 3, o, b, 1)
+        return (c[0], c[1] + 1e-9 * out[0, 0, 0, :3])
+
+    dt, _ = slope_time(body, (vals, pts), R1=1, R2=4)
+    gpt = P / dt / 1e9
+    print(f"xla scatter core P={P}: {dt*1e3:.2f} ms -> {gpt:.4f} Gpt/s",
+          flush=True)
+    return gpt
+
+
 def components(P=1_000_000, N=256):
     vol, pts = data(P, N, seed=3)
     o, b = (3,) * 3, (3,) * 3
@@ -120,6 +168,16 @@ def main():
         "parity_maxabs": float(f"{err:.3e}"),
         "xla_core_gpt": round(xla, 5),
         "speedup_vs_xla": round(gpt / xla, 1),
+    }), flush=True)
+    errp = parity_push()
+    pgpt, _ = bench_push(P=P, N=N)
+    pxla = bench_xla_push()
+    print(json.dumps({
+        "metric": f"scattered_push_{P}pts_{N}cubed_cubic",
+        "value": round(pgpt, 4), "unit": "Gpt/s",
+        "parity_rel": float(f"{errp:.3e}"),
+        "xla_core_gpt": round(pxla, 5),
+        "speedup_vs_xla": round(pgpt / pxla, 1),
     }), flush=True)
 
 
