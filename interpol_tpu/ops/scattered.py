@@ -95,16 +95,26 @@ _BOX_LADDER = [(16, 16, 32), (16, 16, 16), (8, 16, 16), (8, 8, 16),
 _TARGET_PER_BOX = 80.0
 
 
-def auto_box(ishape: Tuple[int, ...], P: int) -> Tuple[int, int, int]:
+# 2-D clouds ride the 3-D kernels via a degenerate trailing axis (see
+# _lift_2d); their box cores are picked from a 2-D ladder.
+_BOX_LADDER_2D = [(64, 128), (64, 64), (32, 64), (32, 32), (16, 32),
+                  (16, 16), (8, 16), (8, 8)]
+
+
+def auto_box(ishape: Tuple[int, ...], P: int) -> Tuple[int, ...]:
     """Pick a box core so the expected per-box point count stays under
     ~_TARGET_PER_BOX at this cloud's density (dense grids land on tiny
     cores where TAB — and with it the per-tap gather-cascade cost — is
     smallest)."""
+    if len(ishape) >= 3 and ishape[-1] == 1:
+        # degenerate trailing axis (the 2-D lift): box it with core 1
+        return auto_box(ishape[:-1], P) + (1,)
     rho = P / max(1, math.prod(ishape))
-    for b in _BOX_LADDER:
+    ladder = _BOX_LADDER if len(ishape) >= 3 else _BOX_LADDER_2D
+    for b in ladder:
         if rho * math.prod(b) <= _TARGET_PER_BOX:
             return b
-    return _BOX_LADDER[-1]
+    return ladder[-1]
 # Below this many points the XLA gather core wins (the scattered tier
 # pays ~fixed sort + table-build cost); documented density threshold
 # for the auto backend dispatch.
@@ -112,7 +122,8 @@ MIN_POINTS = 32768
 CAP = 128   # slots per box = one 128-lane row
 
 
-def box_geometry(orders: Tuple[int, ...], box: Tuple[int, ...]):
+def box_geometry(orders: Tuple[int, ...], box: Tuple[int, ...],
+                 ishape: Optional[Tuple[int, ...]] = None):
     """Per-axis (margin_lo, extent) of the padded box and the padded
     flat table length TAB.
 
@@ -121,9 +132,21 @@ def box_geometry(orders: Tuple[int, ...], box: Tuple[int, ...]):
     ``n0..n0+order``; over the core the taps span exactly
     ``[c*B - order//2, c*B + B - 1 + order//2 + 1]`` — extent
     ``B + 2*(order//2) + 1`` (= B+order for odd, B+order+1 for even
-    orders)."""
+    orders).
+
+    Degenerate axes (``ishape[d] == 1`` with order 0 and box 1 — the
+    2-D lift's dummy axis) get extent 1, not 2: an ELIGIBLE point has
+    coordinate exactly 0 there (the eligibility band is ``[0, n-1] =
+    [0, 0]``), so the order-0 round can never land on 1, and the axis
+    must not double TAB (the gather-cascade cost is linear in TAB).
+    Pass ``ishape`` to enable this rule; without it the general
+    (conservative) extent is used and tables/kernel would disagree —
+    all in-module callers pass it."""
     blo = tuple(o // 2 for o in orders)
-    ext = tuple(b + 2 * (o // 2) + 1 for b, o in zip(box, orders))
+    ns = ishape or (None,) * len(box)
+    ext = tuple(1 if (n == 1 and o == 0 and b == 1)
+                else b + 2 * (o // 2) + 1
+                for b, o, n in zip(box, orders, ns))
     tab_raw = math.prod(ext)
     tab = -(-tab_raw // 128) * 128
     return blo, ext, tab
@@ -136,7 +159,7 @@ def _build_tables(inp: jnp.ndarray, ishape, orders, bounds, box, wdtype):
     in-box offset j the strided view ``vpad[j::B]`` lists that offset's
     value in every box."""
     D = len(ishape)
-    blo, ext, tab = box_geometry(orders, box)
+    blo, ext, tab = box_geometry(orders, box, ishape)
     nb = tuple(-(-n // b) for n, b in zip(ishape, box))
     lo = list(blo)
     hi = [nbd * bd - n + e - bd - bl
@@ -342,7 +365,16 @@ def precompute_tables(inp, orders, bounds, box):
     XLA).  Pass the result as ``pre=`` to pull_scattered /
     grad_scattered together with the SAME box/orders/bounds.  The
     build is differentiable (pure slicing), so gradients w.r.t. the
-    volume flow through a cached table like through the volume."""
+    volume flow through a cached table like through the volume.
+
+    2-D volumes (C, H, W) are lifted to the degenerate-axis 3-D layout
+    (pass the 2-D ``box``); the resulting tables match 2-D
+    pull/grad_scattered calls with the same box."""
+    if inp.ndim == 3:            # (C, H, W): lift like the public ops
+        inp = inp[..., None]
+        orders = tuple(orders) + (0,)
+        bounds = tuple(bounds) + (3,)
+        box = tuple(box) + (1,)
     wdtype = jnp.promote_types(
         jnp.result_type(inp.dtype, jnp.float32), jnp.float32)
     tables, *_ = _build_tables(inp, tuple(inp.shape[1:]), orders,
@@ -376,7 +408,7 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
         tables, nb, blo, ext, tab = _build_tables(inp, ishape, orders,
                                                   bounds, box, wdtype)
     else:
-        blo, ext, tab = box_geometry(orders, box)
+        blo, ext, tab = box_geometry(orders, box, ishape)
         nb = tuple(-(-n // b) for n, b in zip(ishape, box))
         NB8 = -(-math.prod(nb) // 8) * 8
         if tuple(pre.shape) != (C, NB8, tab):
@@ -583,11 +615,31 @@ def _resolve(inp, grid, orders, bounds, box, pre):
     return box, jax.lax.stop_gradient(pre)
 
 
+def _lift_2d(inp, grid, orders, bounds, box):
+    """2-D cloud -> 3-D with a degenerate trailing axis.
+
+    The dummy axis carries order 0, box 1, coordinate exactly 0 and a
+    size-1 volume axis, so :func:`box_geometry` gives it extent 1 — the
+    lift adds ZERO table size or gather-cascade cost (cf. the window
+    tier's 2-D lift, ops/window.py).  Applied OUTSIDE the custom-vjp
+    ops: the lift is plain reshape/concat, so JAX transposes it
+    automatically and every AD order keeps working."""
+    inp3 = inp[..., None] if inp is not None else None
+    g3 = jnp.concatenate([grid, jnp.zeros_like(grid[..., :1])], -1)
+    orders3 = tuple(orders) + (0,)
+    bounds3 = tuple(bounds) + (3,)          # dct2: identity fold at n=1
+    box3 = None if box is None else tuple(box) + (1,)
+    return inp3, g3, orders3, bounds3, box3
+
+
 def pull_scattered(inp, grid, orders, bounds, extrapolate, *,
                    box=None, interpret=False, pre=None):
-    """(C, *ishape), (P, 3) -> (C, P).  Semantics: ndkernels.pull_core
-    (reference interpol/nd.py:80-143).  ``pre``: precomputed tables
-    (see :func:`precompute_tables`)."""
+    """(C, *ishape), (P, D) -> (C, P), D in (2, 3).  Semantics:
+    ndkernels.pull_core (reference interpol/nd.py:80-143).  ``pre``:
+    precomputed tables (see :func:`precompute_tables`)."""
+    if grid.shape[-1] == 2:
+        inp, grid, orders, bounds, box = _lift_2d(inp, grid, orders,
+                                                  bounds, box)
     box, pre = _resolve(inp, grid, orders, bounds, box, pre)
     return _pull_sc(inp, grid, pre, tuple(orders), tuple(bounds),
                     extrapolate, box, interpret)
@@ -595,11 +647,16 @@ def pull_scattered(inp, grid, orders, bounds, extrapolate, *,
 
 def grad_scattered(inp, grid, orders, bounds, extrapolate, *,
                    box=None, interpret=False, pre=None):
-    """(C, *ishape), (P, 3) -> (C, P, 3).  Semantics:
+    """(C, *ishape), (P, D) -> (C, P, D), D in (2, 3).  Semantics:
     ndkernels.grad_core (reference interpol/nd.py:216-288)."""
+    D = grid.shape[-1]
+    if D == 2:
+        inp, grid, orders, bounds, box = _lift_2d(inp, grid, orders,
+                                                  bounds, box)
     box, pre = _resolve(inp, grid, orders, bounds, box, pre)
-    return _grad_sc(inp, grid, pre, tuple(orders), tuple(bounds),
-                    extrapolate, box, interpret)
+    g = _grad_sc(inp, grid, pre, tuple(orders), tuple(bounds),
+                 extrapolate, box, interpret)
+    return g[..., :2] if D == 2 else g
 
 
 # ----------------------------------------------------------- push/count
@@ -693,7 +750,7 @@ def _push_sc_impl(vals, grid, oshape, orders, bounds, extrapolate,
     oshape = tuple(oshape)
     out_dtype = jnp.result_type(vals.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
-    blo, ext, _ = box_geometry(orders, box)
+    blo, ext, _ = box_geometry(orders, box, oshape)
     nb = tuple(-(-n // b) for n, b in zip(oshape, box))
     NBtot = math.prod(nb)
     NB8 = -(-NBtot // 8) * 8
@@ -827,16 +884,22 @@ _push_sc.defvjp(_push_sc_fwd, _push_sc_bwd)
 
 def push_scattered(vals, grid, oshape, orders, bounds, extrapolate, *,
                    box=None, interpret=False):
-    """(C, P), (P, 3) -> (C, *oshape).  Semantics: ndkernels.push_core
-    (reference interpol/nd.py:146-213)."""
+    """(C, P), (P, D) -> (C, *oshape), D in (2, 3).  Semantics:
+    ndkernels.push_core (reference interpol/nd.py:146-213)."""
+    D = grid.shape[-1]
+    if D == 2:
+        _, grid, orders, bounds, box = _lift_2d(None, grid, orders,
+                                                bounds, box)
+        oshape = tuple(oshape) + (1,)
     box = tuple(box or auto_box(tuple(oshape), grid.shape[0]))
-    return _push_sc(vals, grid, tuple(oshape), tuple(orders),
-                    tuple(bounds), extrapolate, box, interpret)
+    out = _push_sc(vals, grid, tuple(oshape), tuple(orders),
+                   tuple(bounds), extrapolate, box, interpret)
+    return out[..., 0] if D == 2 else out
 
 
 def count_scattered(grid, oshape, orders, bounds, extrapolate, *,
                     box=None, interpret=False):
-    """(P, 3) -> (1, *oshape): splatted unit weights (reference
+    """(P, D) -> (1, *oshape): splatted unit weights (reference
     interpol/pushpull.py:106-142)."""
     ones = jnp.ones((1, grid.shape[0]), dtype=grid.dtype)
     return push_scattered(ones, grid, oshape, orders, bounds,

@@ -1,13 +1,19 @@
 """Sharded-path perf evidence on the virtual CPU mesh (VERDICT r2 #5).
 
 Multi-chip hardware is not attached, so these rows do NOT measure TPU
-throughput — they measure the *composition*: that the windowed kernels
-inside shard_map scale with device count instead of being serialized,
-and what fraction of the local step the halo exchange + edge correction
-costs.  Rows are appended to BENCH_SUITE.jsonl with
-``harness=sharded_cpu_mesh_r3`` and per-device throughput plus the
-halo-overhead ratio vs an unsharded single-device run of the same
-LOCAL problem size (perfect scaling => ratio 1.0).
+throughput — they measure the *composition*: what the windowed kernels
+inside shard_map cost beyond the raw per-slab compute (halo exchange,
+edge correction, shard_map plumbing).  Rows are appended to
+BENCH_SUITE.jsonl with ``harness=sharded_cpu_mesh_r3`` and per-device
+throughput plus ``halo_overhead_ratio`` = sharded step time / local
+single-device run at the SAME local slab size.
+
+Interpreting the ratio depends on the host: with >= ndev usable cores
+the virtual devices run concurrently and perfect scaling gives ratio
+1.0; on a 1-usable-core host (this measurement box — see
+docs/ROUND_NOTES.md) the device threads serialize and the ideal ratio
+is ``ndev`` — measured r3: 2.04 at d2 and 3.88 at d4 vs ideals 2 / 4,
+i.e. the composition itself costs ~0-2%.
 
 Run (forces a CPU mesh, safe anywhere):
     python scripts/bench_sharded.py [ndev ...]
@@ -80,14 +86,16 @@ def bench_sharded_op(op_name, n=64, ndev=8, order=3, max_disp=1.5):
             v, g, o, b, 1, mesh=mesh, max_disp=max_disp,
             use_window=True)
 
+    # the carry IS the full output (bench.py's rule): feeding back only
+    # a scalar lets XLA narrow the windowed chain to one voxel and DCE
+    # the rest (observed: 0.0-slope rows)
     def body(c):
         out = f(c[0], c[1])
         if op_name == "grad":
             out = out[..., 0]
-        return (c[0] + 1e-9 * out[..., :1, :1, :1].reshape(
-            1, 1, 1, 1, 1), c[1])
+        return (out, c[1])
 
-    dt, _ = slope_time(body, (vol, grid), R1=2, R2=8, iters=3)
+    dt, _ = slope_time(body, (vol, grid), R1=2, R2=16, iters=3)
     gvox = n ** 3 / dt / 1e9
     return dt, gvox
 
@@ -115,10 +123,9 @@ def bench_local_window(op_name, n_loc, order=3, max_disp=1.5):
         out = f(c[0], c[1], o, b, 1, max_disp)
         if op_name == "grad":
             out = out[..., 0]
-        return (c[0] + 1e-9 * out[..., :1, :1, :1].reshape(1, 1, 1, 1),
-                c[1])
+        return (out, c[1])
 
-    dt, _ = slope_time(body, (vol, grid), R1=2, R2=8, iters=3)
+    dt, _ = slope_time(body, (vol, grid), R1=2, R2=16, iters=3)
     return dt
 
 

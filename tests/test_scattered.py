@@ -270,3 +270,153 @@ def test_api_dispatch_scattered_push_count():
     for a, c in zip(outd, refd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-9)
+
+
+# ------------------------------------------------------------ 2-D lift
+
+def cloud2d(P=500, ish=(24, 40), seed=11, C=2, outside=0.0):
+    rng = np.random.default_rng(seed)
+    inp = jnp.asarray(rng.standard_normal((C,) + ish))
+    pts = rng.uniform(0.0, np.asarray(ish) - 1.0, (P, 2))
+    if outside:
+        n_out = int(P * outside)
+        pts[:n_out] = rng.uniform(-3.0, np.asarray(ish) + 2.0, (n_out, 2))
+    return inp, jnp.asarray(pts)
+
+
+@pytest.mark.parametrize("orders,bounds,ex", [
+    ((3, 3), (3, 3), 1),
+    ((1, 3), (6, 1), 1),
+    pytest.param((0, 5), (4, 2), 0, marks=pytest.mark.slow),
+])
+def test_scattered_2d_matches_core(orders, bounds, ex):
+    """2-D clouds ride the 3-D kernels via the zero-cost degenerate
+    trailing axis (scattered._lift_2d): exact parity with the 2-D
+    gather core for pull and grad."""
+    inp, pts = cloud2d()
+    ref = nd.pull_core(inp, pts, orders, bounds, ex)
+    out = sc.pull_scattered(inp, pts, orders, bounds, ex,
+                            box=(8, 8), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+    refg = nd.grad_core(inp, pts, orders, bounds, ex)
+    outg = sc.grad_scattered(inp, pts, orders, bounds, ex,
+                             box=(8, 8), interpret=True)
+    assert outg.shape == refg.shape == (inp.shape[0], pts.shape[0], 2)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=1e-11)
+
+
+def test_scattered_2d_lift_is_free():
+    """The degenerate axis must not inflate the table: TAB for the
+    lifted 2-D box equals the rounded 2-D extent product (ext_z == 1,
+    not 2 — the whole point of the box_geometry ishape rule)."""
+    blo, ext, tab = sc.box_geometry((3, 3, 0), (8, 8, 1), (24, 40, 1))
+    assert ext == (11, 11, 1)
+    assert tab == -(-11 * 11 // 128) * 128
+    # without ishape the conservative rule doubles it — documented
+    _, ext_c, _ = sc.box_geometry((3, 3, 0), (8, 8, 1))
+    assert ext_c == (11, 11, 2)
+
+
+def test_scattered_2d_fallback_and_autobox():
+    """Out-of-volume 2-D points route through the exact fallback; the
+    auto box for a 2-D cloud comes from the 2-D ladder."""
+    inp, pts = cloud2d(P=600, outside=0.3, seed=12)
+    o, b = (3, 3), (3, 3)
+    ref = nd.pull_core(inp, pts, o, b, 1)
+    out = sc.pull_scattered(inp, pts, o, b, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+    box = sc.auto_box(tuple(inp.shape[1:]), pts.shape[0])
+    assert len(box) == 2
+    box3 = sc.auto_box(tuple(inp.shape[1:]) + (1,), pts.shape[0])
+    assert box3 == box + (1,)
+
+
+def test_scattered_2d_push_count_and_vjp():
+    """2-D scattered push/count parity + VJPs through the lift."""
+    inp, pts = cloud2d(P=400, seed=13)
+    ish = tuple(inp.shape[1:])
+    o, b = (3, 3), (3, 3)
+    rng = np.random.default_rng(14)
+    vals = jnp.asarray(rng.standard_normal((2, pts.shape[0])))
+
+    ref = nd.push_core(vals, pts, ish, o, b, 1)
+    out = sc.push_scattered(vals, pts, ish, o, b, 1, box=(8, 8),
+                            interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+    refc = nd.count_core(pts, ish, o, b, 1)
+    outc = sc.count_scattered(pts, ish, o, b, 1, box=(8, 8),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(outc), np.asarray(refc),
+                               atol=1e-11)
+
+    def f_sc(v, p):
+        return (sc.push_scattered(v, p, ish, o, b, 1, box=(8, 8),
+                                  interpret=True) ** 2).sum()
+
+    def f_nd(v, p):
+        return (nd.push_core(v, p, ish, o, b, 1) ** 2).sum()
+
+    for a, c in zip(jax.grad(f_sc, argnums=(0, 1))(vals, pts),
+                    jax.grad(f_nd, argnums=(0, 1))(vals, pts)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
+
+
+def test_scattered_2d_precomputed_tables():
+    """2-D pre= tables (lifted internally) reproduce the one-shot path
+    exactly."""
+    inp, pts = cloud2d(P=300, seed=15)
+    o, b = (3, 3), (3, 3)
+    box = (8, 8)
+    ref = sc.pull_scattered(inp, pts, o, b, 1, box=box, interpret=True)
+    pre = sc.precompute_tables(inp, o, b, box)
+    out = sc.pull_scattered(inp, pts, o, b, 1, box=box, interpret=True,
+                            pre=pre)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_api_dispatch_scattered_2d():
+    """2-D point clouds route through the scattered tier under the
+    pallas backend (pull/grad/push, incl. VJPs) and match the XLA
+    path."""
+    import interpol_tpu as itp
+    from interpol_tpu import backend
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(16)
+    ish = (24, 40)
+    img = jnp.asarray(rng.standard_normal((2,) + ish))
+    pts = jnp.asarray(rng.uniform(0, np.asarray(ish) - 1, (700, 1, 2)))
+
+    ref = itp.grid_pull(img, pts, interpolation=3, bound="dct2",
+                        extrapolate=True)
+    refg = itp.grid_grad(img, pts, interpolation=3, bound="dct2",
+                         extrapolate=True)
+
+    def loss(v, g):
+        return (itp.grid_pull(v, g, interpolation=3, bound="dct2",
+                              extrapolate=True) ** 2).sum()
+
+    refd = jax.grad(loss, argnums=(0, 1))(img, pts)
+
+    with backend.use_backend("pallas"), pltpu.force_tpu_interpret_mode():
+        out = itp.grid_pull(img, pts, interpolation=3, bound="dct2",
+                            extrapolate=True)
+        outg = itp.grid_grad(img, pts, interpolation=3, bound="dct2",
+                             extrapolate=True)
+        outd = jax.grad(loss, argnums=(0, 1))(img, pts)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=1e-11)
+    for a, c in zip(outd, refd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
