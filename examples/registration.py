@@ -78,6 +78,25 @@ def main():
         print(f"adaptive-window model (max_disp=8): first-step mse "
               f"{float(loss0):.6f}")
 
+    # --- coarse-to-fine pyramid: the production driver --------------
+    # restrict both volumes into a mean-preserving pyramid, register at
+    # the coarsest level first (widest basin of attraction), refine at
+    # each finer level; the control grid is level-invariant so the
+    # estimate carries down unchanged.
+    from interpol_tpu.models import PyramidModel, register
+
+    pyr = PyramidModel(vol_shape=shape, coarse_shape=(4, 4, 4),
+                       levels=2, interpolation=3, bound="dct2",
+                       max_disp=3.0, steps_per_level=8)
+    params_pyr, losses = register(pyr, moving, fixed, lr=2.0)
+    for lev in range(pyr.levels):
+        print(f"pyramid level {lev} ({pyr.level_shapes()[lev]}): "
+              f"mse {float(losses[lev, 0]):.6f} -> "
+              f"{float(losses[lev, -1]):.6f}")
+    err = float(jnp.mean((pyr.finest().warp(params_pyr, moving)
+                          - fixed) ** 2))
+    print(f"pyramid final alignment mse {err:.6f}")
+
 
 if __name__ == "__main__":
     main()

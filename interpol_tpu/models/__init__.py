@@ -1,2 +1,5 @@
-"""Flagship workloads built on the framework (registration warp model)."""
+"""Flagship workloads built on the framework (registration warp model,
+coarse-to-fine pyramid driver)."""
 from .warp import WarpModel, mse_loss, train_step  # noqa: F401
+from .pyramid import (PyramidModel, register, run_level,  # noqa: F401
+                      image_pyramid)
