@@ -21,6 +21,9 @@ from .ops.api import (  # noqa: F401
     pull, push, count, required_tile_spread,
 )
 from .ops.resize import resize, restrict  # noqa: F401
+from .ops.flow import (  # noqa: F401
+    compose_disp, exp_disp, disp_jacobian, jacobian_det, invert_disp,
+)
 
 __version__ = "0.1.0"
 
@@ -30,6 +33,8 @@ __all__ = [
     "identity_grid", "add_identity_grid", "affine_grid",
     "pull", "push", "count", "required_tile_spread",
     "resize", "restrict",
+    "compose_disp", "exp_disp", "disp_jacobian", "jacobian_det",
+    "invert_disp",
     "BoundType", "ExtrapolateType", "InterpolationType",
     "options", "backend",
 ]

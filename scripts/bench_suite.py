@@ -163,6 +163,73 @@ def bench_resize(n, factor=2):
     return dt
 
 
+def _scatter_data(P, N, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = jnp.asarray(rng.standard_normal((1, N, N, N)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0, N - 1, (P, 3)).astype(np.float32))
+    return vol, pts
+
+
+def bench_scattered(kind, P=1_000_000, N=256):
+    """Scattered-grid native tier rows (1M points into N^3, cubic).
+
+    kinds: pull (one-shot), pull_amortized (precomputed box tables —
+    repeated sampling of one volume), grad (fused 3-derivative),
+    push (box-densifying MXU splat).  Each row also times the XLA
+    gather/scatter core at P/10 (extrapolated per-point) for the
+    speedup column."""
+    from interpol_tpu.ops import scattered as sc
+    from interpol_tpu.ops import ndkernels as nd
+    o, b = (3,) * 3, (3,) * 3
+    vol, pts = _scatter_data(P, N)
+    if kind == "push":
+        rng = np.random.default_rng(7)
+        vals = jnp.asarray(rng.standard_normal((1, P)).astype(np.float32))
+
+        def body(c):
+            out = sc.push_scattered(c[0], c[1], (N,) * 3, o, b, 1)
+            return (c[0], c[1] + 1e-9 * out[0, 0, 0, :3])
+        dt, _ = slope_time(body, (vals, pts))
+
+        def xbody(c):
+            out = nd.push_core(c[0], c[1], (N,) * 3, o, b, 1)
+            return (c[0], c[1] + 1e-9 * out[0, 0, 0, :3])
+        xv, xp = _scatter_data(P // 10, N, seed=2)
+        xdt, _ = slope_time(
+            xbody, (vals[:, :P // 10], xp), R1=1, R2=4)
+        xgpt = (P // 10) / xdt / 1e9
+    else:
+        pre, box = None, None
+        if kind == "pull_amortized":
+            box = sc.auto_box((N,) * 3, P)
+            pre = jax.jit(partial(sc.precompute_tables, orders=o,
+                                  bounds=b, box=box))(vol)
+            pre.block_until_ready()
+        if kind == "grad":
+            def body(c):
+                g = sc.grad_scattered(c[0], c[1], o, b, 1)
+                return (c[0], c[1] + 1e-9 * g[0])
+        else:
+            def body(c):
+                out = sc.pull_scattered(c[0], c[1], o, b, 1,
+                                        pre=pre, box=box)
+                return (c[0], c[1].at[:, :].add(1e-9 * out[0, :, None]))
+        dt, _ = slope_time(body, (vol, pts))
+
+        xv, xp = _scatter_data(P // 10, N, seed=2)
+        if kind == "grad":
+            def xbody(c):
+                out = nd.grad_core(c[0], c[1], o, b, 1)
+                return (c[0], c[1] + 1e-9 * out[0])
+        else:
+            def xbody(c):
+                out = nd.pull_core(c[0], c[1], o, b, 1)
+                return (c[0], c[1].at[:, :].add(1e-9 * out[0, :, None]))
+        xdt, _ = slope_time(xbody, (xv, xp), R1=1, R2=4)
+        xgpt = (P // 10) / xdt / 1e9
+    return dt, xgpt
+
+
 def bench_step(n):
     """Full warp-MSE value_and_grad training step (flagship model)."""
     from interpol_tpu.models import WarpModel
@@ -186,6 +253,26 @@ def bench_step(n):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    if mode == "scattered":
+        skip = done_keys()
+        for kind in ["pull", "pull_amortized", "grad", "push"]:
+            key = f"scattered_{kind}_1M_256_3_fp32"
+            if key in skip:
+                continue
+            try:
+                h = wait_healthy()
+                secs, xgpt = bench_scattered(kind)
+            except Exception as e:
+                record({"key": key, "error": str(e)[:200]})
+                continue
+            gpt = 1_000_000 / secs / 1e9
+            record({"key": key, "op": f"scattered_{kind}", "points": 10 ** 6,
+                    "size": 256, "order": 3, "dtype": "fp32",
+                    "ms": round(secs * 1e3, 3), "gpt_s": round(gpt, 4),
+                    "xla_core_gpt_s": round(xgpt, 5),
+                    "speedup_vs_xla": round(gpt / xgpt, 1),
+                    "health_s": round(h, 2)})
+        return
     if mode == "quick":
         sizes, orders, dtypes = [128], [1, 3], ["fp32"]
         ops = ["pull", "push", "coeff"]
