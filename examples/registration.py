@@ -97,6 +97,25 @@ def main():
                           - fixed) ** 2))
     print(f"pyramid final alignment mse {err:.6f}")
 
+    # --- diffeomorphic (SVF) registration -----------------------------
+    # learn a stationary velocity field and warp by its group
+    # exponential: the deformation is invertible by construction
+    # (positive Jacobian determinant; exp(-v) is the exact inverse).
+    from interpol_tpu import jacobian_det
+    from interpol_tpu.models import SVFModel, svf_train_step
+
+    svf = SVFModel(vol_shape=shape, coarse_shape=(4, 4, 4),
+                   interpolation=3, max_disp=3.0, steps=6)
+    p = svf.init_params(1)
+    for _ in range(10):
+        p, loss = svf_train_step(svf, p, moving, fixed, lr=2.0)
+    det = jacobian_det(svf.flow(p))
+    back = svf.warp(p, svf.warp(p, moving), inverse=True)
+    inv_err = float(jnp.abs(back - moving)[:, :, 8:-8, 8:-8, 8:-8].max())
+    print(f"svf: mse {float(loss):.6f}, det J in "
+          f"[{float(det.min()):.3f}, {float(det.max()):.3f}], "
+          f"inverse-consistency {inv_err:.4f}")
+
 
 if __name__ == "__main__":
     main()

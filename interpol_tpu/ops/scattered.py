@@ -561,10 +561,13 @@ def _pull_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
 
 
 def _pull_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
-    from . import ndkernels as nd
     inp, grid, pre = res
     ishape = tuple(inp.shape[1:])
-    d_inp = nd.push_core(ct, grid, ishape, orders, bounds, extrapolate)
+    # d_inp on the NATIVE splat tier (the XLA scatter core is ~7x
+    # slower at 1M points); _push_sc evaluates the primal only here —
+    # no AD re-entry (and its own custom_vjp covers higher orders)
+    d_inp = _push_sc(ct, grid, ishape, orders, bounds, extrapolate,
+                     box, interpret)
     g = _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
                  interpret)
     d_grid = (g * ct[..., None]).sum(axis=0)
@@ -871,10 +874,14 @@ def _push_sc_fwd(vals, grid, oshape, orders, bounds, extrapolate, box,
 def _push_sc_bwd(oshape, orders, bounds, extrapolate, box, interpret,
                  res, ct):
     vals, grid = res
+    # ct is resampled twice (pull for d_vals, grad for d_grid): build
+    # its box tables ONCE and share (saves a full 12 ms relayout at
+    # the 1M/256^3 operating point)
+    pre = precompute_tables(ct, tuple(orders), tuple(bounds), box)
     d_vals = pull_scattered(ct, grid, orders, bounds, extrapolate,
-                            box=box, interpret=interpret)
+                            box=box, interpret=interpret, pre=pre)
     g = grad_scattered(ct, grid, orders, bounds, extrapolate, box=box,
-                       interpret=interpret)       # (C, P, 3)
+                       interpret=interpret, pre=pre)   # (C, P, 3)
     d_grid = (g * vals[..., None]).sum(axis=0)
     return (d_vals.astype(vals.dtype), d_grid.astype(grid.dtype))
 

@@ -209,6 +209,13 @@ def bench_scattered(kind, P=1_000_000, N=256):
             def body(c):
                 g = sc.grad_scattered(c[0], c[1], o, b, 1)
                 return (c[0], c[1] + 1e-9 * g[0])
+        elif kind == "pull_vjp":
+            def loss(v, p):
+                return jnp.sum(sc.pull_scattered(v, p, o, b, 1) ** 2)
+
+            def body(c):
+                gv, gp = jax.grad(loss, argnums=(0, 1))(c[0], c[1])
+                return (c[0] + 1e-9 * gv, c[1] + 1e-9 * gp)
         else:
             def body(c):
                 out = sc.pull_scattered(c[0], c[1], o, b, 1,
@@ -221,6 +228,13 @@ def bench_scattered(kind, P=1_000_000, N=256):
             def xbody(c):
                 out = nd.grad_core(c[0], c[1], o, b, 1)
                 return (c[0], c[1] + 1e-9 * out[0])
+        elif kind == "pull_vjp":
+            def xloss(v, p):
+                return jnp.sum(nd.pull_core(v, p, o, b, 1) ** 2)
+
+            def xbody(c):
+                gv, gp = jax.grad(xloss, argnums=(0, 1))(c[0], c[1])
+                return (c[0] + 1e-9 * gv, c[1] + 1e-9 * gp)
         else:
             def xbody(c):
                 out = nd.pull_core(c[0], c[1], o, b, 1)
@@ -255,7 +269,8 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     if mode == "scattered":
         skip = done_keys()
-        for kind in ["pull", "pull_amortized", "grad", "push"]:
+        for kind in ["pull", "pull_amortized", "grad", "push",
+                     "pull_vjp"]:
             key = f"scattered_{kind}_1M_256_3_fp32"
             if key in skip:
                 continue
