@@ -43,20 +43,29 @@ feasibility work, scripts/tpu_kernel_lab5.py):
 Semantics match ops/ndkernels.pull_core / grad_core exactly (reference
 interpol/nd.py:80-143, 216-288).
 
-**Push / count** (the splat adjoints) use the same box decomposition
-with a *densifying* kernel: Mosaic has no scatter primitive, so each
-box's splats are accumulated as a dense ``(Ex, Ey*Ez)`` patch built by
-ONE MXU matmul per box — ``A (Ex, 128 slots)`` carries per-slot x-axis
-weights times values (placed with static-iota one-hot compares) and
-``B (128 slots, Ey*Ez)`` the per-slot separable y/z weight outer
-products; ``A @ B`` sums over slots on the MXU, race-free by
-construction.  The patches are folded back into the volume by the
-exact transpose of the box relayout (static strided overlap-adds) and
-:func:`window._fold_pad_margins` (boundary adjoint).  Per-slot taps
-arrive pre-evaluated from XLA in both lane-major (for ``A``) and
-sublane-major (for ``B``) layouts, so the kernel needs no in-kernel
-transposes or dynamic DMA.  Overflow / ineligible points take the
-exact XLA scatter-core fallback, like the pull family.
+**Push / count / pushgrad / pushhess** (the splat adjoints) use the
+same box decomposition with a *densifying* kernel: Mosaic has no
+scatter primitive, so each box's splats are accumulated as a dense
+``(Ex, Ey*Ez)`` patch built by ONE MXU matmul per box — ``A (Ex, 128
+slots)`` carries per-slot x-axis weights times values (placed with
+static-iota one-hot compares) and ``BT (Ey*Ez, 128 slots)`` the
+per-slot separable y/z weight outer products (also one-hot built,
+slots staying on LANES); the slot sum is ``dot_general(A, BT)``
+contracting both lane axes on the MXU, race-free by construction.
+Like the pull kernel, the splat kernel fetches its own sorted
+coordinates and value rows (dynamic 128-aligned DMAs) and evaluates
+taps in-register — no XLA-side slot expansion.  A static ``spec`` of
+per-axis derivative multi-indices generalizes the same kernel to
+pushgrad (3 value rows, first-derivative taps) and pushhess (9 rows),
+all sharing the DMA/taps/patch.  The patches are folded back into the
+volume by the exact transpose of the box relayout (static strided
+overlap-adds) and :func:`window._fold_pad_margins` (boundary
+adjoint).  Overflow / ineligible points take the exact XLA
+scatter-core fallback, like the pull family.  ``hess_scattered``
+(6 unique second-derivative planes, one fused gather pass) completes
+the family: every scattered autodiff path of every order runs native
+kernels, with custom VJPs terminating in XLA traces of the generic
+core only at third order and beyond.
 """
 from __future__ import annotations
 
@@ -76,8 +85,9 @@ from .splines import bspline_taps, node_origin
 from .window import _pad_folded, _fold_pad_margins
 
 __all__ = ["pull_scattered", "grad_scattered", "push_scattered",
-           "count_scattered", "box_geometry", "precompute_tables",
-           "DEFAULT_BOX", "MIN_POINTS"]
+           "count_scattered", "pushgrad_scattered", "hess_scattered",
+           "box_geometry", "precompute_tables", "auto_box",
+           "auto_box_splat", "DEFAULT_BOX", "MIN_POINTS"]
 
 # Default box core: TAB = 11*11*19 = 2299 -> 2304 lanes at cubic order,
 # the shape the lab-5 cascade probe measured.  Larger cores raise slot
@@ -115,6 +125,25 @@ def auto_box(ishape: Tuple[int, ...], P: int) -> Tuple[int, ...]:
         if rho * math.prod(b) <= _TARGET_PER_BOX:
             return b
     return ladder[-1]
+def auto_box_splat(oshape: Tuple[int, ...], P: int) -> Tuple[int, ...]:
+    """Box core for the densifying splat kernel: same target density as
+    :func:`auto_box`, but shaped x-heavy so the patch's padded y*z
+    extent stays at one 128-lane row — the kernel's dominant cost (the
+    BT one-hot build) is linear in that extent, while the x extent only
+    widens the cheap A build and the MXU matmul's sublane count."""
+    if len(oshape) >= 3 and oshape[-1] == 1:
+        # degenerate trailing axis (the 2-D lift)
+        return auto_box_splat(oshape[:-1], P) + (1,)
+    vol = math.prod(auto_box(oshape, P))
+    if len(oshape) == 2:
+        by = min(8, vol)
+        return (min(max(1, vol // by), int(oshape[0])), by)
+    bz = min(8, vol)
+    by = min(8, max(1, vol // bz))
+    bx = max(1, vol // (by * bz))
+    return (min(bx, int(oshape[0])), by, bz)
+
+
 # Below this many points the XLA gather core wins (the scattered tier
 # pays ~fixed sort + table-build cost); documented density threshold
 # for the auto backend dispatch.
@@ -258,9 +287,11 @@ _SLK = 24   # window rows of 128 lanes -> 3072 lanes, 12 KB per coord
 
 
 def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
-                   *refs, orders, blo, ext, box, nb, value, grad):
+                   *refs, orders, blo, ext, box, nb, value, grad,
+                   hess=False):
     """One (channel, 8-box block) program: fused value + 3 spatial
-    derivatives for 8 rows x 128 slots.
+    derivatives (+ optionally the 6 unique second-derivative planes,
+    order xx,yy,zz,xy,xz,yz) for 8 rows x 128 slots.
 
     The block's sorted point coordinates are fetched with ONE dynamic
     128-aligned DMA per axis (the 8 boxes' segments are consecutive in
@@ -269,7 +300,8 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     via the per-sublane-row gather cascade.  An extra `served` output
     records which slots this kernel actually computed (0 for
     capacity/window overflow -> exact XLA fallback)."""
-    n_out = (1 if value else 0) + (3 if grad else 0)
+    n_out = (1 if value else 0) + (3 if grad else 0) \
+        + (6 if hess else 0)
     out_refs = refs[:n_out + 1]           # + served mask
     bufs = refs[n_out + 1:]               # 3 scratch windows + 3 sems
     scr, sems = bufs[:3], bufs[3:6]
@@ -312,12 +344,14 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     valid_b = lane < jnp.concatenate(
         [jnp.full((1, 1), c, jnp.int32) for c in cnts], axis=0)
     wdtype = gs[0].dtype
-    taps_w, taps_g, locs = [], [], []
+    taps_w, taps_g, taps_h, locs = [], [], [], []
     for d in range(3):
         n0, t = node_origin(gs[d], orders[d])
-        w, gr, _ = bspline_taps(t, orders[d], grad=grad)
+        w, gr, hs = bspline_taps(t, orders[d], grad=grad or hess,
+                                 hess=hess)
         taps_w.append(w)
         taps_g.append(gr)
+        taps_h.append(hs)
         # local tap-0 coordinate inside the padded box
         locs.append(n0 - (base0[d] - blo[d]))
 
@@ -330,12 +364,17 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     valid = valid_b.astype(wdtype)
     acc_v = jnp.zeros(shape, wdtype) if value else None
     acc_d = [jnp.zeros(shape, wdtype) for _ in range(3)] if grad else None
+    acc_h = [jnp.zeros(shape, wdtype) for _ in range(6)] if hess else None
     for jx in range(orders[0] + 1):
         for jy in range(orders[1] + 1):
             wxy = taps_w[0][jx] * taps_w[1][jy]
-            if grad:
-                gxy = taps_g[0][jx] * taps_w[1][jy]
-                hxy = taps_w[0][jx] * taps_g[1][jy]
+            if grad or hess:
+                gxy = taps_g[0][jx] * taps_w[1][jy]      # gx*wy
+                hxy = taps_w[0][jx] * taps_g[1][jy]      # wx*gy
+            if hess:
+                a_xx = taps_h[0][jx] * taps_w[1][jy]     # hx*wy
+                a_yy = taps_w[0][jx] * taps_h[1][jy]     # wx*hy
+                a_xy = taps_g[0][jx] * taps_g[1][jy]     # gx*gy
             off = (jx * ext[1] + jy) * ext[2]
             for jz in range(orders[2] + 1):
                 idx = base + (off + jz)
@@ -346,11 +385,20 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
                     acc_d[0] = acc_d[0] + (gxy * taps_w[2][jz]) * val
                     acc_d[1] = acc_d[1] + (hxy * taps_w[2][jz]) * val
                     acc_d[2] = acc_d[2] + (wxy * taps_g[2][jz]) * val
+                if hess:
+                    acc_h[0] = acc_h[0] + (a_xx * taps_w[2][jz]) * val
+                    acc_h[1] = acc_h[1] + (a_yy * taps_w[2][jz]) * val
+                    acc_h[2] = acc_h[2] + (wxy * taps_h[2][jz]) * val
+                    acc_h[3] = acc_h[3] + (a_xy * taps_w[2][jz]) * val
+                    acc_h[4] = acc_h[4] + (gxy * taps_g[2][jz]) * val
+                    acc_h[5] = acc_h[5] + (hxy * taps_g[2][jz]) * val
     outs = []
     if value:
         outs.append(acc_v * valid)
     if grad:
         outs.extend(a * valid for a in acc_d)
+    if hess:
+        outs.extend(a * valid for a in acc_h)
     outs.append(valid)                    # served mask
     for ref, acc in zip(out_refs, outs):
         ref[0, 0] = acc
@@ -383,12 +431,14 @@ def precompute_tables(inp, orders, bounds, box):
 
 
 def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
-                  value=True, grad=False, box=None, interpret=False,
-                  pre=None):
-    """Unbatched scattered pull / fused gradient.
+                  value=True, grad=False, hess=False, box=None,
+                  interpret=False, pre=None):
+    """Unbatched scattered pull / fused gradient / fused Hessian.
 
-    inp: (C, *ishape); grid: (P, 3).  Returns (val, g):
-    (C, P) / (C, P, 3) per the flags (None when not requested).
+    inp: (C, *ishape); grid: (P, 3).  Returns (val, g, h):
+    (C, P) / (C, P, 3) / (C, P, 3, 3) per the flags (None when not
+    requested; h is the symmetric spatial Hessian assembled from the
+    kernel's 6 unique planes).
     ``pre``: tables from :func:`precompute_tables` (requires ``box``)."""
     from . import ndkernels as nd
 
@@ -423,10 +473,16 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
     NBLK = NB8 // 8
 
     # per-box sorted-segment boundaries (SMEM): row b serves sorted
-    # points seg[b] .. seg[b]+CAP-1
+    # points seg[b] .. seg[b]+CAP-1.  seg[NBtot] is the
+    # first-ineligible position (NOT P) so the last box's count never
+    # swallows the trailing ineligible points; for the pull family the
+    # phantom slots were merely unread, but the splat family would
+    # accumulate them (see _splat_impl), and the smaller counts also
+    # skip dead gather work here.
     seg = jnp.concatenate([
-        sch["seg_start"][:NBtot],
-        jnp.full((NB8 + 1 - NBtot,), P, jnp.int32)]).astype(jnp.int32)
+        sch["seg_start"][:NBtot + 1],
+        jnp.broadcast_to(sch["seg_start"][NBtot],
+                         (NB8 - NBtot,))]).astype(jnp.int32)
     # a block is kernel-served only if all its rows' slot windows fit
     # the _SLK-row DMA window (fails only under extreme clustering)
     s0 = seg[0:NB8:8]
@@ -444,9 +500,11 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
     cys = lanes(sch["coords"][:, 1])
     czs = lanes(sch["coords"][:, 2])
 
-    n_out = (1 if value else 0) + (3 if grad else 0)
+    n_out = (1 if value else 0) + (3 if grad else 0) \
+        + (6 if hess else 0)
     kernel = partial(_gather_kernel, orders=tuple(orders), blo=blo,
-                     ext=ext, box=box, nb=nb, value=value, grad=grad)
+                     ext=ext, box=box, nb=nb, value=value, grad=grad,
+                     hess=hess)
     tspec = pl.BlockSpec((1, 8, tab), lambda c, k: (c, k, 0),
                          memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -496,8 +554,16 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
         return jnp.stack([cols[j * C + c] for c in range(C)], 0)
 
     val_out = pick(0) if value else None
-    g_out = jnp.stack([pick((1 if value else 0) + d)
-                       for d in range(3)], axis=-1) if grad else None
+    gbase = 1 if value else 0
+    g_out = jnp.stack([pick(gbase + d) for d in range(3)],
+                      axis=-1) if grad else None
+    h_out = None
+    if hess:
+        hbase = gbase + (3 if grad else 0)
+        xx, yy, zz, xy, xz, yz = (pick(hbase + t) for t in range(6))
+        h_out = jnp.stack([jnp.stack([xx, xy, xz], -1),
+                           jnp.stack([xy, yy, yz], -1),
+                           jnp.stack([xz, yz, zz], -1)], axis=-2)
 
     # exact fallback for ineligible / overflow / unserved points
     # (rare): the generic gather core, masked, under one cond so the
@@ -520,6 +586,16 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
 
         g_out = g_out + jax.lax.cond(
             any_fb, fb_rung, lambda _: jnp.zeros((C, P, 3), wdtype), 0)
+    if hess:
+        def fb_runh(_):
+            hv = nd.hess_core(inp, grid, tuple(orders), tuple(bounds),
+                              extrapolate)
+            return hv.astype(wdtype) \
+                * fb_orig[None, :, None, None].astype(wdtype)
+
+        h_out = h_out + jax.lax.cond(
+            any_fb, fb_runh, lambda _: jnp.zeros((C, P, 3, 3), wdtype),
+            0)
 
     # extrapolation mask (the kernel computed eligible points
     # unconditionally; the fallback core already masks its own output)
@@ -529,11 +605,15 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
             val_out = val_out * mask[None]
         if grad:
             g_out = g_out * mask[None, :, None]
+        if hess:
+            h_out = h_out * mask[None, :, None, None]
     if value:
         val_out = val_out.astype(out_dtype)
     if grad:
         g_out = g_out.astype(out_dtype)
-    return val_out, g_out
+    if hess:
+        h_out = h_out.astype(out_dtype)
+    return val_out, g_out, h_out
 
 
 # ------------------------------------------------------------ AD rules
@@ -548,9 +628,9 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _pull_sc(inp, grid, pre, orders, bounds, extrapolate, box,
              interpret):
-    val, _ = _scatter_impl(inp, grid, orders, bounds, extrapolate,
-                           value=True, grad=False, box=box,
-                           interpret=interpret, pre=pre)
+    val, _, _ = _scatter_impl(inp, grid, orders, bounds, extrapolate,
+                              value=True, grad=False, box=box,
+                              interpret=interpret, pre=pre)
     return val
 
 
@@ -565,9 +645,10 @@ def _pull_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
     ishape = tuple(inp.shape[1:])
     # d_inp on the NATIVE splat tier (the XLA scatter core is ~7x
     # slower at 1M points); _push_sc evaluates the primal only here —
-    # no AD re-entry (and its own custom_vjp covers higher orders)
+    # no AD re-entry (and its own custom_vjp covers higher orders).
+    # The splat prefers its own x-heavy box shape (auto_box_splat).
     d_inp = _push_sc(ct, grid, ishape, orders, bounds, extrapolate,
-                     box, interpret)
+                     auto_box_splat(ishape, grid.shape[0]), interpret)
     g = _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
                  interpret)
     d_grid = (g * ct[..., None]).sum(axis=0)
@@ -581,9 +662,9 @@ _pull_sc.defvjp(_pull_sc_fwd, _pull_sc_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
              interpret):
-    _, g = _scatter_impl(inp, grid, orders, bounds, extrapolate,
-                         value=False, grad=True, box=box,
-                         interpret=interpret, pre=pre)
+    _, g, _ = _scatter_impl(inp, grid, orders, bounds, extrapolate,
+                            value=False, grad=True, box=box,
+                            interpret=interpret, pre=pre)
     return g
 
 
@@ -594,12 +675,16 @@ def _grad_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
 
 
 def _grad_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
-    from . import ndkernels as nd
     inp, grid, pre = res
     ishape = tuple(inp.shape[1:])
-    d_inp = nd.pushgrad_core(ct, grid, ishape, orders, bounds,
-                             extrapolate)
-    h = nd.hess_core(inp, grid, orders, bounds, extrapolate)
+    # fully native (round-3 third session): d_inp via the
+    # derivative-spec splat kernel, d_grid via the fused Hessian gather
+    # kernel (which reuses inp's precomputed box tables)
+    d_inp = _pushgrad_sc(ct, grid, ishape, orders, bounds, extrapolate,
+                         auto_box_splat(ishape, grid.shape[0]),
+                         interpret)
+    h = _hess_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret)
     d_grid = (h * ct[..., None]).sum(axis=(0, -2))
     return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
             jnp.zeros_like(pre))
@@ -667,66 +752,120 @@ def grad_scattered(inp, grid, orders, bounds, extrapolate, *,
 # docstring).  Semantics: ndkernels.push_core / count_core (reference
 # interpol/nd.py:146-213, pushpull.py:106-142).
 
-def _push_kernel(lm_ref, sm_ref, vv_ref, out_ref, *, orders, ext,
-                 expad, eyzpad):
+def _splat_kernel(cx_hbm, cy_hbm, cz_hbm, vv_hbm, seg_ref, out_ref,
+                  *bufs, orders, blo, ext, box, nb, spec, expad,
+                  eyzpad):
     """One (channel, 8-box block) program: densify 8 boxes' splats.
 
-    lm (8, 1+ox+1, 128): lane-major per-slot x data [loc_x, wx taps];
-    sm (8, 128, NCOL): sublane-major per-slot y/z data
-        [loc_y, loc_z, wy taps, wz taps];
-    vv (1, 8, 1, 128): per-slot values (pre-masked by slot validity;
-        the extra unit dim keeps the row index off the tiled dims so
-        the loop's dynamic load is a free leading-dim offset);
-    out (1, 8, expad, eyzpad): dense per-box patches, layout
-        [X, Y*Ez + Z].
+    Third-generation kernel: fetches its own sorted coordinates AND
+    value rows (one dynamic 128-aligned DMA per stream, exactly like
+    the pull kernel) and evaluates B-spline taps in-register.  The
+    second-generation kernel needed per-slot data pre-evaluated by XLA
+    in TWO layouts (lane-major for A, sublane-major for B), which cost
+    a 2M-slot gather, XLA tap evaluation, and two big relayout
+    operands per call — about half the op's wall time at the 1M/256^3
+    operating point.  This kernel keeps EVERYTHING lane-major (slots
+    on lanes) by building the TRANSPOSED right operand
+    ``BT[yz, s]`` with sublane-iota one-hot compares and contracting
+    both matmul operands on their lane (slot) axis:
 
-    Per box: A[X, s] = sum_j wx[j,s]·[X == lx[s]+j]·v[s]  (one-hot
-    placement against a static iota),  B[s, YZ] = sum_{jy,jz}
-    wy[jy,s]·wz[jz,s]·[YZ == (ly[s]+jy)·Ez + lz[s]+jz],  and the slot
-    sum is ONE MXU matmul A @ B.  Invalid slots carry v = 0, zeroing
-    their A column and with it any garbage in their B row.  All
-    integer-valued floats involved are exact in f32 (< 2^24).
+        patch[X, YZ] = sum_s A[X, s] * BT[YZ, s]
+                     = dot_general(A, BT, contracting dims (1, 1))
 
-    The 8 rows run in a ``fori_loop`` (dynamic indices land only on
-    non-tiled leading dims; value-level lane slices are static): a
-    Python unroll left ~300 independent (128, eyzpad) intermediates
-    live and Mosaic stack-allocated them all — 17.6 MB of scoped VMEM,
-    over the 16 MB limit (observed r3).  The sequential loop bounds the
-    live set to one row's accumulation chain."""
+    ``spec`` is a static tuple of per-axis derivative multi-indices:
+    value row i is splatted with ``d^spec[i]`` taps.  Value splat:
+    ``((0,0,0),)``; pushgrad (adjoint of grid_grad w.r.t. its input):
+    ``((1,0,0),(0,1,0),(0,0,1))``; pushhess: the 9 second-order
+    pairs.  All rows share the coordinate DMA, the tap evaluation and
+    the output patch (their splats accumulate).
+
+    Per-ROW window check (not per-block): row r is served only when
+    its slot window fits the DMA window (``seg[8k+r] - a0 + CAP <=
+    TOT``); unserved rows emit a zero patch and their points take the
+    exact XLA fallback (the host side reproduces the same predicate
+    point-wise with one associative scan — no gather).
+
+    The 8 rows run in a ``fori_loop``: a Python unroll leaves every
+    row's (eyzpad, 128) intermediates live and Mosaic stack-allocates
+    them all — 17+ MB of scoped VMEM, over the 16 MB limit (observed
+    r3).  Invalid slots carry v = 0, which zeroes their A column and
+    with it any garbage in their BT column."""
+    NV = len(spec)
     o0, o1, o2 = orders
-    Ex, Ey, Ez = ext
+    Ez = ext[2]
     wdtype = out_ref.dtype
-    # Mosaic lowers integer iota only; the compares run in float
-    # (all index values are exact small ints)
-    Xi = jax.lax.broadcasted_iota(jnp.int32, (expad, 128), 0
-                                  ).astype(wdtype)
-    YZi = jax.lax.broadcasted_iota(jnp.int32, (128, eyzpad), 1
-                                   ).astype(wdtype)
+    c = pl.program_id(0)
+    k = pl.program_id(1)
+    TOT = _SLK * 128
+
+    scr, vscr, sems = bufs[0:3], bufs[3], bufs[4:]
+    s0 = seg_ref[8 * k]
+    a0 = (s0 // 128) * 128
+    cps = []
+    for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
+        cp = pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(a0, 128), TOT)], s, sems[i])
+        cps.append(cp)
+        cp.start()
+    # values ride as (C, NV, R*128): the channel index lands on a free
+    # leading dim (sublane offsets would need 8-alignment, which c*NV
+    # cannot guarantee)
+    cpv = pltpu.make_async_copy(
+        vv_hbm.at[pl.ds(c, 1), :,
+                  pl.ds(pl.multiple_of(a0, 128), TOT)], vscr, sems[3])
+    cpv.start()
+    for cp in cps:
+        cp.wait()
+    cpv.wait()
+
+    Xi = jax.lax.broadcasted_iota(jnp.int32, (expad, 128), 0)
+    YZi = jax.lax.broadcasted_iota(jnp.int32, (eyzpad, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lv = max(max(s) for s in spec)
 
     def row(r, carry):
-        lmr = lm_ref[r]                            # (NPX, 128)
-        smr = sm_ref[r]                            # (128, NCOL)
-        vr = vv_ref[0, r]                          # (1, 128)
-        lx = lmr[0:1]                              # (1, 128)
-        A = jnp.zeros((expad, 128), wdtype)
-        for j in range(o0 + 1):
-            A = A + jnp.where(Xi == lx + j, lmr[1 + j:2 + j] * vr,
-                              jnp.zeros((), wdtype))
-        ly = smr[:, 0:1]                           # (128, 1)
-        lz = smr[:, 1:2]
-        B = jnp.zeros((128, eyzpad), wdtype)
-        for jy in range(o1 + 1):
-            wy = smr[:, 2 + jy:3 + jy]
-            iy = (ly + jy) * Ez
-            for jz in range(o2 + 1):
-                wz = smr[:, 3 + o1 + jz:4 + o1 + jz]
-                B = B + jnp.where(YZi == iy + (lz + jz), wy * wz,
+        b = k * 8 + r
+        base0 = ((b // (nb[1] * nb[2])) * box[0],
+                 ((b // nb[2]) % nb[1]) * box[1],
+                 (b % nb[2]) * box[2])
+        sr = seg_ref[8 * k + r]
+        ok = ((sr - a0) + CAP <= TOT).astype(jnp.int32)
+        cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
+        off = jnp.clip(sr - a0, 0, TOT - 128)
+        g = [pltpu.roll(scr[d][...], TOT - off, 1)[:, :128]
+             for d in range(3)]
+        vrows = pltpu.roll(vscr[0], TOT - off, 1)[:, :128]   # (NV, 128)
+        valid = (lane < cnt).astype(wdtype)
+        taps, locs = [], []
+        for d in range(3):
+            n0, t = node_origin(g[d], orders[d])
+            w, gr, h = bspline_taps(t, orders[d], grad=lv >= 1,
+                                    hess=lv >= 2)
+            taps.append((w, gr, h))
+            locs.append(n0 - (base0[d] - blo[d]))
+        patch = jnp.zeros((expad, eyzpad), wdtype)
+        for i, (dx, dy, dz) in enumerate(spec):
+            vr = vrows[i:i + 1] * valid           # (1, 128)
+            wx, wy, wz = taps[0][dx], taps[1][dy], taps[2][dz]
+            A = jnp.zeros((expad, 128), wdtype)
+            for j in range(o0 + 1):
+                A = A + jnp.where(Xi == locs[0] + j, wx[j] * vr,
                                   jnp.zeros((), wdtype))
-        # HIGHEST: the MXU's default f32 precision is a single bf16
-        # pass (~3e-3 relative error, observed on-chip r3); the splat
-        # contract is <= 1e-5 vs the scatter core
-        out_ref[0, r] = jnp.dot(A, B, preferred_element_type=wdtype,
-                                precision=jax.lax.Precision.HIGHEST)
+            BT = jnp.zeros((eyzpad, 128), wdtype)
+            for jy in range(o1 + 1):
+                iy = (locs[1] + jy) * Ez + locs[2]
+                for jz in range(o2 + 1):
+                    BT = BT + jnp.where(YZi == iy + jz,
+                                        wy[jy] * wz[jz],
+                                        jnp.zeros((), wdtype))
+            # HIGHEST: the MXU's default f32 precision is a single
+            # bf16 pass (~3e-3 relative error, observed on-chip r3);
+            # the splat contract is <= 1e-5 vs the scatter core
+            patch = patch + jax.lax.dot_general(
+                A, BT, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=wdtype,
+                precision=jax.lax.Precision.HIGHEST)
+        out_ref[0, r] = patch
         return carry
 
     jax.lax.fori_loop(0, 8, row, 0)
@@ -742,16 +881,20 @@ def _combine_axis(x, nb_d, b_d, e_d):
     return out
 
 
-def _push_sc_impl(vals, grid, oshape, orders, bounds, extrapolate,
-                  box, interpret):
-    """Unbatched scattered splat: (C, P), (P, 3) -> (C, *oshape)."""
-    from . import ndkernels as nd
+def _splat_impl(rows, grid, oshape, orders, bounds, extrapolate,
+                box, interpret, spec, fb_core):
+    """Unbatched generalized scattered splat.
 
+    rows: (C, NV, P) value rows, one per derivative multi-index in
+    ``spec`` (see :func:`_splat_kernel`); grid: (P, 3).  Returns
+    ``sum_i splat(rows[:, i], d^spec[i] taps)`` as (C, *oshape).
+    ``fb_core(rows_masked)`` must return the exact XLA-core splat of
+    the masked rows (same reduction) for fallback points."""
     D = grid.shape[-1]
     assert D == 3, "scattered native tier is 3-D"
-    C, P = vals.shape
+    C, NV, P = rows.shape
     oshape = tuple(oshape)
-    out_dtype = jnp.result_type(vals.dtype, grid.dtype)
+    out_dtype = jnp.result_type(rows.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
     blo, ext, _ = box_geometry(orders, box, oshape)
     nb = tuple(-(-n // b) for n, b in zip(oshape, box))
@@ -764,64 +907,60 @@ def _push_sc_impl(vals, grid, oshape, orders, bounds, extrapolate,
     eyzpad = -(-eyz // 128) * 128
 
     sch = _schedule(grid, oshape, box, nb, wdtype,
-                    extra=tuple(vals[c].astype(wdtype)
-                                for c in range(C)))
+                    extra=tuple(rows[c, i].astype(wdtype)
+                                for c in range(C) for i in range(NV)))
 
-    # slot expansion in XLA (the kernel is pure compute): slot (b, l)
-    # holds sorted point seg[b] + l
-    sl = sch["seg_start"].astype(jnp.int32)
-    s0 = jnp.pad(sl[:NBtot], (0, NB8 - NBtot), constant_values=P)
-    s1 = jnp.pad(sl[1:NBtot + 1], (0, NB8 - NBtot), constant_values=P)
-    lane = jnp.arange(CAP, dtype=jnp.int32)
-    pos_raw = s0[:, None] + lane[None]
-    pos = jnp.clip(pos_raw, 0, max(P - 1, 0))            # (NB8, CAP)
-    valid = pos_raw < s1[:, None]                        # (NB8, CAP)
-    coords_slot = sch["coords"][pos]                     # (NB8, CAP, 3)
-    vmask = valid.astype(wdtype)
-    vv = jnp.stack([e[pos] for e in sch["extra"]]) * vmask[None]
-    vv = vv[:, :, None, :]                 # (C, NB8, 1, CAP): see kernel
+    # seg[NBtot] must be the FIRST-INELIGIBLE position, not P: the
+    # ineligible points (keys == NBtot) sort directly after the last
+    # box's segment, and a P end would make the last box's slot count
+    # swallow them — the kernel would splat out-of-volume points into
+    # the last box (caught by test_scattered_push_fallbacks)
+    seg = jnp.concatenate([
+        sch["seg_start"][:NBtot + 1],
+        jnp.broadcast_to(sch["seg_start"][NBtot],
+                         (NB8 - NBtot,))]).astype(jnp.int32)
 
-    bidx = jnp.arange(NB8, dtype=jnp.int32)
-    corig = [(bidx // (nb[1] * nb[2])) * box[0],
-             ((bidx // nb[2]) % nb[1]) * box[1],
-             (bidx % nb[2]) * box[2]]
-    locs, taps = [], []
-    for d in range(3):
-        n0, t = node_origin(coords_slot[..., d], orders[d])
-        w, _, _ = bspline_taps(t, orders[d])
-        loc = n0 - (corig[d][:, None] - blo[d])
-        # clamp garbage (invalid-slot) locs so the one-hot index stays
-        # finite/exact in f32; their value is already zeroed
-        locs.append(jnp.clip(loc, 0, ext[d] - 1).astype(wdtype))
-        taps.append([wj.astype(wdtype) for wj in w])
+    # sorted coords / value rows as (*, R*128) lane-major streams; pad
+    # so the last block's DMA window stays in bounds
+    R = -(-P // 128) + _SLK
 
-    lm = jnp.stack([locs[0]] + taps[0], axis=1)          # (NB8, 2+o0, CAP)
-    sm = jnp.stack([locs[1], locs[2]] + taps[1] + taps[2],
-                   axis=-1)                              # (NB8, CAP, NCOL)
+    def lanes(x):
+        return jnp.pad(x, (0, R * 128 - P)).astype(wdtype)
 
-    npx = lm.shape[1]
-    ncol = sm.shape[-1]
-    kernel = partial(_push_kernel, orders=tuple(orders), ext=ext,
+    cxs = lanes(sch["coords"][:, 0]).reshape(1, R * 128)
+    cys = lanes(sch["coords"][:, 1]).reshape(1, R * 128)
+    czs = lanes(sch["coords"][:, 2]).reshape(1, R * 128)
+    # NV rides the SUBLANE dim of the value stream; Mosaic requires DMA
+    # slice extents on that dim aligned to the memref tiling (observed
+    # on-chip r3: NV=3 -> "must be aligned to tiling (4)").  Pad the
+    # rows dim to the tile (4 for small dims, else 8-multiples) and DMA
+    # the full span; the kernel reads only the first NV rows.
+    nvpad = NV if NV == 1 else (4 if NV <= 4 else -(-NV // 8) * 8)
+    vvs = jnp.stack([lanes(e) for e in sch["extra"]]
+                    ).reshape(C, NV, R * 128)
+    if nvpad != NV:
+        vvs = jnp.pad(vvs, ((0, 0), (0, nvpad - NV), (0, 0)))
+
+    kernel = partial(_splat_kernel, orders=tuple(orders), blo=blo,
+                     ext=ext, box=box, nb=nb, spec=tuple(spec),
                      expad=expad, eyzpad=eyzpad)
+    hspec = pl.BlockSpec(memory_space=pl.ANY)
+    mspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_k = pl.pallas_call(
         kernel,
         grid=(C, NBLK),
-        in_specs=[
-            pl.BlockSpec((8, npx, CAP), lambda c, k: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, CAP, ncol), lambda c, k: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 1, CAP), lambda c, k: (c, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[hspec, hspec, hspec, hspec, mspec],
         out_specs=pl.BlockSpec((1, 8, expad, eyzpad),
                                lambda c, k: (c, k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, NB8, expad, eyzpad), wdtype),
+        scratch_shapes=[pltpu.VMEM((1, _SLK * 128), wdtype)] * 3
+        + [pltpu.VMEM((1, nvpad, _SLK * 128), wdtype)]
+        + [pltpu.SemaphoreType.DMA] * 4,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 2),
         interpret=interpret,
-    )(lm, sm, vv)
+    )(cxs, cys, czs, vvs, seg)
 
     # inverse box relayout: patches -> padded volume (overlap-add), then
     # fold the pad margins back through the boundaries
@@ -839,23 +978,49 @@ def _push_sc_impl(vals, grid, oshape, orders, bounds, extrapolate,
           for nbd, bd, n, e, bl in zip(nb, box, oshape, ext, blo)]
     vol = _fold_pad_margins(x, oshape, bounds, lo, hi, wdtype)
 
-    # exact fallback for ineligible / capacity-overflow points: the XLA
-    # scatter core, under one cond so the common case pays nothing
-    served_s = (sch["keys"] < NBtot) & (sch["rank"] < CAP)
+    # exact fallback for ineligible / capacity-overflow /
+    # DMA-window-overflow points, under one cond so the common case
+    # pays nothing.  The window predicate mirrors the kernel's per-row
+    # check: a point at sorted position i with within-box rank r sits
+    # in box segment start i-r; its block's DMA base is
+    # (blockstart // 128) * 128 with blockstart spread from the
+    # block-first markers by one associative scan (no gather).
+    keys, rank = sch["keys"], sch["rank"]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    blkid = keys // 8
+    first_blk = jnp.concatenate([jnp.ones((1,), bool),
+                                 blkid[1:] != blkid[:-1]])
+    blkstart = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first_blk, iota, 0))
+    a0 = (blkstart // 128) * 128
+    window_ok = (iota - rank - a0) + CAP <= _SLK * 128
+    served_s = (keys < NBtot) & (rank < CAP) & window_ok
     unsorted = jax.lax.sort(
         (sch["idx"], (~served_s).astype(jnp.int32)), num_keys=1)
     fb_orig = unsorted[1] > 0
     any_fb = fb_orig.any()
 
     def fb_run(_):
-        return nd.push_core(
-            vals.astype(wdtype) * fb_orig[None].astype(wdtype),
-            grid, oshape, tuple(orders), tuple(bounds),
-            extrapolate).astype(wdtype)
+        masked = rows.astype(wdtype) * fb_orig[None, None].astype(wdtype)
+        return fb_core(masked).astype(wdtype)
 
     vol = vol + jax.lax.cond(
         any_fb, fb_run, lambda _: jnp.zeros((C,) + oshape, wdtype), 0)
     return vol.astype(out_dtype)
+
+
+def _push_sc_impl(vals, grid, oshape, orders, bounds, extrapolate,
+                  box, interpret):
+    """Unbatched scattered splat: (C, P), (P, 3) -> (C, *oshape)."""
+    from . import ndkernels as nd
+
+    def fb_core(masked):                    # (C, 1, P) -> (C, *oshape)
+        return nd.push_core(masked[:, 0], grid, tuple(oshape),
+                            tuple(orders), tuple(bounds), extrapolate)
+
+    return _splat_impl(vals[:, None], grid, oshape, orders, bounds,
+                       extrapolate, box, interpret, ((0, 0, 0),),
+                       fb_core)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
@@ -876,17 +1041,196 @@ def _push_sc_bwd(oshape, orders, bounds, extrapolate, box, interpret,
     vals, grid = res
     # ct is resampled twice (pull for d_vals, grad for d_grid): build
     # its box tables ONCE and share (saves a full 12 ms relayout at
-    # the 1M/256^3 operating point)
-    pre = precompute_tables(ct, tuple(orders), tuple(bounds), box)
+    # the 1M/256^3 operating point).  Re-derive a GATHER box: the
+    # forward's splat box is x-heavy, which can blow up TAB (and with
+    # it the gather-cascade cost) for sparse clouds.
+    gbox = auto_box(tuple(ct.shape[1:]), grid.shape[0])
+    pre = precompute_tables(ct, tuple(orders), tuple(bounds), gbox)
     d_vals = pull_scattered(ct, grid, orders, bounds, extrapolate,
-                            box=box, interpret=interpret, pre=pre)
-    g = grad_scattered(ct, grid, orders, bounds, extrapolate, box=box,
+                            box=gbox, interpret=interpret, pre=pre)
+    g = grad_scattered(ct, grid, orders, bounds, extrapolate, box=gbox,
                        interpret=interpret, pre=pre)   # (C, P, 3)
     d_grid = (g * vals[..., None]).sum(axis=0)
     return (d_vals.astype(vals.dtype), d_grid.astype(grid.dtype))
 
 
 _push_sc.defvjp(_push_sc_fwd, _push_sc_bwd)
+
+
+# -------------------------------------------------- derivative adjoints
+# pushgrad (adjoint of grad w.r.t. its input) and hess (the grad
+# family's second-order gather) on the native tier, with mutually
+# recursive custom VJPs so EVERY autodiff order keeps working without
+# ever exposing a raw pallas_call to the tracer (the round-2 lesson):
+#   grad  --bwd-->  pushgrad (splat kernel) + hess (gather kernel)
+#   pushgrad --bwd--> grad + hess           (native)
+#   hess  --bwd-->  pushhess (splat kernel) + XLA third-order trace
+#   pushhess --bwd--> hess + XLA fourth-order trace
+# The XLA d_grid legs trace the generic hess_core, which is plain jnp
+# and differentiable to any order (rare paths; documented).
+
+_SPEC_GRAD = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+_SPEC_HESS = tuple(tuple((1 if a == d else 0) + (1 if a == e else 0)
+                         for a in range(3))
+                   for d in range(3) for e in range(3))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _pushgrad_sc(ct, grid, oshape, orders, bounds, extrapolate, box,
+                 interpret):
+    from . import ndkernels as nd
+
+    def fb_core(masked):                   # (C, 3, P)
+        return nd.pushgrad_core(jnp.moveaxis(masked, 1, -1), grid,
+                                tuple(oshape), tuple(orders),
+                                tuple(bounds), extrapolate)
+
+    rows = jnp.moveaxis(ct, -1, 1)         # (C, 3, P)
+    return _splat_impl(rows, grid, oshape, orders, bounds, extrapolate,
+                       box, interpret, _SPEC_GRAD, fb_core)
+
+
+def _pushgrad_sc_fwd(ct, grid, oshape, orders, bounds, extrapolate,
+                     box, interpret):
+    return _pushgrad_sc(ct, grid, oshape, orders, bounds, extrapolate,
+                        box, interpret), (ct, grid)
+
+
+def _pushgrad_sc_bwd(oshape, orders, bounds, extrapolate, box,
+                     interpret, res, u):
+    ct, grid = res
+    gbox = auto_box(tuple(u.shape[1:]), grid.shape[0])
+    pre = jax.lax.stop_gradient(
+        precompute_tables(u, tuple(orders), tuple(bounds), gbox))
+    d_ct = _grad_sc(u, grid, pre, tuple(orders), tuple(bounds),
+                    extrapolate, gbox, interpret)
+    h = _hess_sc(u, grid, pre, tuple(orders), tuple(bounds),
+                 extrapolate, gbox, interpret)
+    d_grid = (h * ct[..., None]).sum(axis=(0, -2))
+    return (d_ct.astype(ct.dtype), d_grid.astype(grid.dtype))
+
+
+_pushgrad_sc.defvjp(_pushgrad_sc_fwd, _pushgrad_sc_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _hess_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+             interpret):
+    _, _, h = _scatter_impl(inp, grid, orders, bounds, extrapolate,
+                            value=False, grad=False, hess=True,
+                            box=box, interpret=interpret, pre=pre)
+    return h
+
+
+def _hess_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret):
+    return _hess_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                    interpret), (inp, grid, pre)
+
+
+def _hess_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
+    from . import ndkernels as nd
+    inp, grid, pre = res
+    ishape = tuple(inp.shape[1:])
+    d_inp = _pushhess_sc(ct, grid, ishape, orders, bounds, extrapolate,
+                         auto_box_splat(ishape, grid.shape[0]),
+                         interpret)
+    # d_grid needs third derivatives: exact XLA trace of the generic
+    # core (rare path; plain jnp, differentiable to any order)
+    prim, vjp_g = jax.vjp(
+        lambda gr: nd.hess_core(inp, gr, tuple(orders), tuple(bounds),
+                                extrapolate), grid)
+    d_grid = vjp_g(ct.astype(prim.dtype))[0]
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
+            jnp.zeros_like(pre))
+
+
+_hess_sc.defvjp(_hess_sc_fwd, _hess_sc_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _pushhess_sc(ct, grid, oshape, orders, bounds, extrapolate, box,
+                 interpret):
+    from . import ndkernels as nd
+    C = ct.shape[0]
+
+    def fb_core(masked):                   # (C, 9, P)
+        ctm = jnp.moveaxis(masked, 1, -1).reshape(ct.shape)
+        zero = jnp.zeros((C,) + tuple(oshape), masked.dtype)
+        prim, vjp = jax.vjp(
+            lambda v: nd.hess_core(v, grid, tuple(orders),
+                                   tuple(bounds), extrapolate), zero)
+        return vjp(ctm.astype(prim.dtype))[0]
+
+    rows = jnp.moveaxis(ct.reshape(C, -1, 9), -1, 1)   # (C, 9, P)
+    return _splat_impl(rows, grid, oshape, orders, bounds, extrapolate,
+                       box, interpret, _SPEC_HESS, fb_core)
+
+
+def _pushhess_sc_fwd(ct, grid, oshape, orders, bounds, extrapolate,
+                     box, interpret):
+    return _pushhess_sc(ct, grid, oshape, orders, bounds, extrapolate,
+                        box, interpret), (ct, grid)
+
+
+def _pushhess_sc_bwd(oshape, orders, bounds, extrapolate, box,
+                     interpret, res, u):
+    from . import ndkernels as nd
+    ct, grid = res
+    gbox = auto_box(tuple(u.shape[1:]), grid.shape[0])
+    pre = jax.lax.stop_gradient(
+        precompute_tables(u, tuple(orders), tuple(bounds), gbox))
+    d_ct = _hess_sc(u, grid, pre, tuple(orders), tuple(bounds),
+                    extrapolate, gbox, interpret)
+    # d_grid needs fourth derivatives: exact XLA trace (rare path)
+
+    def ph(gr):
+        zero = jnp.zeros(u.shape, u.dtype)
+        prim, vjp = jax.vjp(
+            lambda v: nd.hess_core(v, gr, tuple(orders), tuple(bounds),
+                                   extrapolate), zero)
+        return vjp(ct.astype(prim.dtype))[0]
+
+    prim2, vjp_g = jax.vjp(ph, grid)
+    d_grid = vjp_g(u.astype(prim2.dtype))[0]
+    return (d_ct.astype(ct.dtype), d_grid.astype(grid.dtype))
+
+
+_pushhess_sc.defvjp(_pushhess_sc_fwd, _pushhess_sc_bwd)
+
+
+def pushgrad_scattered(ct, grid, oshape, orders, bounds, extrapolate,
+                       *, box=None, interpret=False):
+    """Adjoint of :func:`grad_scattered` w.r.t. its input: splat the
+    per-point gradient cotangents (C, P, D) into a (C, *oshape) volume
+    with first-derivative taps, D in (2, 3).  Semantics:
+    ndkernels.pushgrad_core (reference interpol/pushpull.py:176-233)."""
+    D = grid.shape[-1]
+    if D == 2:
+        _, grid, orders, bounds, box = _lift_2d(None, grid, orders,
+                                                bounds, box)
+        oshape = tuple(oshape) + (1,)
+        ct = jnp.concatenate([ct, jnp.zeros_like(ct[..., :1])], -1)
+    box = tuple(box or auto_box_splat(tuple(oshape), grid.shape[0]))
+    out = _pushgrad_sc(ct, grid, tuple(oshape), tuple(orders),
+                       tuple(bounds), extrapolate, box, interpret)
+    return out[..., 0] if D == 2 else out
+
+
+def hess_scattered(inp, grid, orders, bounds, extrapolate, *,
+                   box=None, interpret=False, pre=None):
+    """(C, *ishape), (P, D) -> (C, P, D, D) spatial Hessians, D in
+    (2, 3), all 9 (4 in 2-D) planes from one fused kernel pass (6
+    unique, mirrored symmetric).  Semantics: ndkernels.hess_core
+    (reference interpol/pushpull.py:303-325)."""
+    D = grid.shape[-1]
+    if D == 2:
+        inp, grid, orders, bounds, box = _lift_2d(inp, grid, orders,
+                                                  bounds, box)
+    box, pre = _resolve(inp, grid, orders, bounds, box, pre)
+    h = _hess_sc(inp, grid, pre, tuple(orders), tuple(bounds),
+                 extrapolate, box, interpret)
+    return h[..., :2, :2] if D == 2 else h
 
 
 def push_scattered(vals, grid, oshape, orders, bounds, extrapolate, *,
@@ -898,7 +1242,7 @@ def push_scattered(vals, grid, oshape, orders, bounds, extrapolate, *,
         _, grid, orders, bounds, box = _lift_2d(None, grid, orders,
                                                 bounds, box)
         oshape = tuple(oshape) + (1,)
-    box = tuple(box or auto_box(tuple(oshape), grid.shape[0]))
+    box = tuple(box or auto_box_splat(tuple(oshape), grid.shape[0]))
     out = _push_sc(vals, grid, tuple(oshape), tuple(orders),
                    tuple(bounds), extrapolate, box, interpret)
     return out[..., 0] if D == 2 else out

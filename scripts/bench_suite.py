@@ -188,12 +188,17 @@ def bench_scattered(kind, P=1_000_000, N=256):
 
         def body(c):
             out = sc.push_scattered(c[0], c[1], (N,) * 3, o, b, 1)
-            return (c[0], c[1] + 1e-9 * out[0, 0, 0, :3])
+            # doctrine #5: perturb EVERY input whose downstream
+            # sub-computation should be counted (vals feeds the sort
+            # payload + slot expansion)
+            return (c[0] + 1e-9 * out[0, 0, 0, 0],
+                    c[1] + 1e-9 * out[0, 0, 0, :3])
         dt, _ = slope_time(body, (vals, pts))
 
         def xbody(c):
             out = nd.push_core(c[0], c[1], (N,) * 3, o, b, 1)
-            return (c[0], c[1] + 1e-9 * out[0, 0, 0, :3])
+            return (c[0] + 1e-9 * out[0, 0, 0, 0],
+                    c[1] + 1e-9 * out[0, 0, 0, :3])
         xv, xp = _scatter_data(P // 10, N, seed=2)
         xdt, _ = slope_time(
             xbody, (vals[:, :P // 10], xp), R1=1, R2=4)
@@ -208,7 +213,11 @@ def bench_scattered(kind, P=1_000_000, N=256):
         if kind == "grad":
             def body(c):
                 g = sc.grad_scattered(c[0], c[1], o, b, 1)
-                return (c[0], c[1] + 1e-9 * g[0])
+                # doctrine #5: perturb vol too, or XLA hoists the
+                # vol->tables build out of the fori_loop (observed:
+                # 26 ms reported vs the honest ~34)
+                return (c[0] + 1e-9 * g[0, 0, 0],
+                        c[1] + 1e-9 * g[0])
         elif kind == "pull_vjp":
             def loss(v, p):
                 return jnp.sum(sc.pull_scattered(v, p, o, b, 1) ** 2)
@@ -220,14 +229,19 @@ def bench_scattered(kind, P=1_000_000, N=256):
             def body(c):
                 out = sc.pull_scattered(c[0], c[1], o, b, 1,
                                         pre=pre, box=box)
-                return (c[0], c[1].at[:, :].add(1e-9 * out[0, :, None]))
+                # one-shot: perturb vol so the table build is counted
+                # (doctrine #5).  Amortized (pre= given): vol stays
+                # loop-invariant BY DESIGN — the tables are precomputed.
+                v = c[0] if pre is not None else c[0] + 1e-9 * out[0, 0]
+                return (v, c[1].at[:, :].add(1e-9 * out[0, :, None]))
         dt, _ = slope_time(body, (vol, pts))
 
         xv, xp = _scatter_data(P // 10, N, seed=2)
         if kind == "grad":
             def xbody(c):
                 out = nd.grad_core(c[0], c[1], o, b, 1)
-                return (c[0], c[1] + 1e-9 * out[0])
+                return (c[0] + 1e-9 * out[0, 0, 0],
+                        c[1] + 1e-9 * out[0])
         elif kind == "pull_vjp":
             def xloss(v, p):
                 return jnp.sum(nd.pull_core(v, p, o, b, 1) ** 2)
@@ -238,7 +252,8 @@ def bench_scattered(kind, P=1_000_000, N=256):
         else:
             def xbody(c):
                 out = nd.pull_core(c[0], c[1], o, b, 1)
-                return (c[0], c[1].at[:, :].add(1e-9 * out[0, :, None]))
+                return (c[0] + 1e-9 * out[0, 0],
+                        c[1].at[:, :].add(1e-9 * out[0, :, None]))
         xdt, _ = slope_time(xbody, (xv, xp), R1=1, R2=4)
         xgpt = (P // 10) / xdt / 1e9
     return dt, xgpt

@@ -120,6 +120,42 @@ def scattered_smoke(N=64, P=20000):
     print(f"scattered parity={err:.2e}, grad OK", flush=True)
 
 
+def splat_smoke(N=64, P=20000):
+    """Round-3 third-gen splat kernel: compiled parity for push /
+    pushgrad / hess vs the XLA cores + fully-native grad-of-grad."""
+    from interpol_tpu.ops import ndkernels as nd
+    from interpol_tpu.ops import scattered as sc
+
+    rng = np.random.default_rng(6)
+    vol = jnp.asarray(rng.standard_normal((1, N, N, N)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0, N - 1, (P, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.standard_normal((1, P)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((1, P, 3)).astype(np.float32))
+    o, b = (3,) * 3, (3,) * 3
+    ish = (N,) * 3
+
+    ref = jax.jit(lambda v, p: nd.push_core(v, p, ish, o, b, 1))(vals, pts)
+    out = jax.jit(lambda v, p: sc.push_scattered(v, p, ish, o, b, 1))(
+        vals, pts)
+    e1 = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    refg = jax.jit(lambda c, p: nd.pushgrad_core(c, p, ish, o, b, 1))(
+        ct, pts)
+    outg = jax.jit(lambda c, p: sc.pushgrad_scattered(
+        c, p, ish, o, b, 1))(ct, pts)
+    e2 = float(jnp.abs(outg - refg).max() / jnp.abs(refg).max())
+    refh = jax.jit(lambda v, p: nd.hess_core(v, p, o, b, 1))(vol, pts)
+    outh = jax.jit(lambda v, p: sc.hess_scattered(v, p, o, b, 1))(
+        vol, pts)
+    e3 = float(jnp.abs(outh - refh).max() / jnp.abs(refh).max())
+    # fully-native second order: grad of grad_scattered loss
+    gg = jax.jit(jax.grad(lambda v, p: (sc.grad_scattered(
+        v, p, o, b, 1) ** 2).sum(), argnums=(0, 1)))(vol, pts)
+    for g in gg:
+        sync(g)
+    print(f"splat rel-parity: push={e1:.2e} pushgrad={e2:.2e} "
+          f"hess={e3:.2e}, grad-of-grad OK", flush=True)
+
+
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     ops = sys.argv[2:] or ["parity", "pull", "grad", "push", "coeff"]
@@ -130,6 +166,8 @@ def main():
         autodiff_smoke()
     if "scattered" in ops:
         scattered_smoke()
+    if "splat" in ops:
+        splat_smoke()
 
     if "parity" in ops:
         parity()

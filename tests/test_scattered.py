@@ -420,3 +420,111 @@ def test_api_dispatch_scattered_2d():
     for a, c in zip(outd, refd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-9)
+
+
+# ------------------------------------------- derivative adjoints / hess
+
+def test_scattered_pushgrad_hess_match_core():
+    """pushgrad (derivative-spec splat kernel) and hess (6-plane fused
+    gather kernel) match the generic cores exactly."""
+    inp, pts = cloud(P=350, seed=17)
+    ish = tuple(inp.shape[1:])
+    o, b = (3,) * 3, (3,) * 3
+    rng = np.random.default_rng(18)
+    ct = jnp.asarray(rng.standard_normal((2, pts.shape[0], 3)))
+
+    ref = nd.pushgrad_core(ct, pts, ish, o, b, 1)
+    out = sc.pushgrad_scattered(ct, pts, ish, o, b, 1, box=(4, 4, 8),
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+    refh = nd.hess_core(inp, pts, o, b, 1)
+    outh = sc.hess_scattered(inp, pts, o, b, 1, box=(4, 4, 8),
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(outh), np.asarray(refh),
+                               atol=1e-11)
+
+
+def test_scattered_pushgrad_hess_2d():
+    """2-D pushgrad / hess ride the degenerate-axis lift."""
+    inp, pts = cloud2d(P=300, seed=20)
+    ish = tuple(inp.shape[1:])
+    o, b = (3, 3), (3, 3)
+    rng = np.random.default_rng(21)
+    ct = jnp.asarray(rng.standard_normal((2, pts.shape[0], 2)))
+
+    ref = nd.pushgrad_core(ct, pts, ish, o, b, 1)
+    out = sc.pushgrad_scattered(ct, pts, ish, o, b, 1, box=(8, 8),
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+    refh = nd.hess_core(inp, pts, o, b, 1)
+    outh = sc.hess_scattered(inp, pts, o, b, 1, box=(8, 8),
+                             interpret=True)
+    assert outh.shape == (inp.shape[0], pts.shape[0], 2, 2)
+    np.testing.assert_allclose(np.asarray(outh), np.asarray(refh),
+                               atol=1e-11)
+
+
+def test_scattered_grad_fully_native_second_order():
+    """First-order AD through grad_scattered runs the native pushgrad +
+    hess kernels (no XLA-core straggler) and matches the generic core's
+    derivatives; rev-of-rev HVP through pull_scattered also agrees."""
+    inp, pts = cloud(P=250, seed=19, C=1)
+    o, b = (3,) * 3, (3,) * 3
+
+    def loss_sc(v, p):
+        return (sc.grad_scattered(v, p, o, b, 1, box=(4, 4, 8),
+                                  interpret=True) ** 2).sum()
+
+    def loss_nd(v, p):
+        return (nd.grad_core(v, p, o, b, 1) ** 2).sum()
+
+    for a, c in zip(jax.grad(loss_sc, argnums=(0, 1))(inp, pts),
+                    jax.grad(loss_nd, argnums=(0, 1))(inp, pts)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
+
+    rng = np.random.default_rng(22)
+    tang = jnp.asarray(rng.standard_normal(pts.shape))
+
+    def pl_sc(v, p):
+        return (sc.pull_scattered(v, p, o, b, 1, box=(4, 4, 8),
+                                  interpret=True) ** 2).sum()
+
+    def pl_nd(v, p):
+        return (nd.pull_core(v, p, o, b, 1) ** 2).sum()
+
+    def hvp(fn):
+        return jax.grad(
+            lambda p: (jax.grad(fn, argnums=1)(inp, p) * tang).sum())
+
+    np.testing.assert_allclose(np.asarray(hvp(pl_sc)(pts)),
+                               np.asarray(hvp(pl_nd)(pts)), atol=1e-8)
+
+
+@pytest.mark.slow
+def test_scattered_third_order_smoke():
+    """Third-order reverse AD through grad_scattered terminates on the
+    documented XLA trace legs (never a raw pallas_call) and matches the
+    generic core."""
+    inp, pts = cloud(P=120, seed=23, C=1)
+    o, b = (3,) * 3, (3,) * 3
+
+    def make(fn):
+        def f1(p):
+            return (fn(inp, p) ** 2).sum()
+
+        def f2(p):
+            return (jax.grad(f1)(p) ** 2).sum()
+
+        return jax.grad(f2)
+
+    f_sc = make(lambda v, p: sc.grad_scattered(v, p, o, b, 1,
+                                               box=(4, 4, 8),
+                                               interpret=True))
+    f_nd = make(lambda v, p: nd.grad_core(v, p, o, b, 1))
+    np.testing.assert_allclose(np.asarray(f_sc(pts)),
+                               np.asarray(f_nd(pts)), atol=1e-7)
