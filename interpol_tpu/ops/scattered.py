@@ -31,14 +31,22 @@ feasibility work, scripts/tpu_kernel_lab5.py):
      element (lab-5 measurement).  Cox-de Boor tap weights are
      evaluated in-kernel; value and the three spatial derivatives
      share every gather (fused, like the dense warp kernel).
-  4. **Exactness**: points outside the eligible region (outside the
-     closed volume bounds), beyond a box's 128 slots, or in a block
-     whose slot window exceeds the coordinate-DMA slack are reported
-     unserved by the kernel's mask output and fall back to the generic
-     XLA gather core under a single ``lax.cond`` — never silently
-     dropped; the fallback costs nothing when no such point exists.
-     The slot results return to user order with one shared gather plus
-     one ``lax.sort`` (cheaper than a P-sized scatter on this part).
+  4. **Overflow round**: boxes holding more than the 128-slot capacity
+     get ranks 128..255 served by ONE extra kernel pass with a static
+     rank offset, launched under a ``lax.cond`` (the common case pays
+     only the reduction) — clustered clouds degrade to a second ~10 ms
+     pass, not a fallback storm.
+  5. **Exactness**: points outside the eligible region (outside the
+     closed volume bounds), beyond both rounds' 256 slots, or in a
+     block whose slot window exceeds the coordinate-DMA slack are
+     reported unserved by the kernel's mask output and fall back to the
+     generic XLA gather core under a single ``lax.cond`` — never
+     silently dropped; the fallback costs nothing when no such point
+     exists.  The slot results return to user order with ONE
+     single-payload ``lax.sort`` of the per-point slot code followed by
+     one shared gather of every value plane directly in user order
+     (cheaper than gathering in sorted order and carrying every plane
+     through the sort, and than a P-sized scatter, on this part).
 
 Semantics match ops/ndkernels.pull_core / grad_core exactly (reference
 interpol/nd.py:80-143, 216-288).
@@ -288,7 +296,7 @@ _SLK = 24   # window rows of 128 lanes -> 3072 lanes, 12 KB per coord
 
 def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
                    *refs, orders, blo, ext, box, nb, value, grad,
-                   hess=False):
+                   hess=False, roff=0):
     """One (channel, 8-box block) program: fused value + 3 spatial
     derivatives (+ optionally the 6 unique second-derivative planes,
     order xx,yy,zz,xy,xz,yz) for 8 rows x 128 slots.
@@ -299,7 +307,13 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     lane roll.  Taps are fetched from the block's (8, TAB) table rows
     via the per-sublane-row gather cascade.  An extra `served` output
     records which slots this kernel actually computed (0 for
-    capacity/window overflow -> exact XLA fallback)."""
+    capacity/window overflow -> exact XLA fallback).
+
+    ``roff`` (static): within-box rank offset — the overflow round
+    re-launches the same kernel with roff=CAP to serve ranks
+    CAP..2*CAP-1 of boxes that overflowed their 128 slots, so clustered
+    clouds degrade to ONE extra kernel pass (under a host-side cond)
+    instead of an XLA gather-core fallback storm."""
     n_out = (1 if value else 0) + (3 if grad else 0) \
         + (6 if hess else 0)
     out_refs = refs[:n_out + 1]           # + served mask
@@ -310,7 +324,7 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     shape = (8, 128)
     TOT = _SLK * 128
 
-    s0 = seg_ref[8 * k]
+    s0 = seg_ref[8 * k] + roff
     a0 = (s0 // 128) * 128
     cps = []
     for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
@@ -333,10 +347,12 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     rows = [[], [], []]
     cnts = []
     for r in range(8):
-        sr = seg_ref[8 * k + r]
+        sr = seg_ref[8 * k + r] + roff
+        # negative counts (round-2 rows of non-overflowing boxes) give
+        # an all-false valid mask via lane < cnt; no clamp needed
         cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
         cnts.append(cnt)
-        off = sr - a0
+        off = jnp.clip(sr - a0, 0, TOT - 128)
         for d in range(3):
             flat = scr[d][...]
             rows[d].append(pltpu.roll(flat, TOT - off, 1)[:, :128])
@@ -483,16 +499,10 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
         sch["seg_start"][:NBtot + 1],
         jnp.broadcast_to(sch["seg_start"][NBtot],
                          (NB8 - NBtot,))]).astype(jnp.int32)
-    # a block is kernel-served only if all its rows' slot windows fit
-    # the _SLK-row DMA window (fails only under extreme clustering)
-    s0 = seg[0:NB8:8]
-    s7 = seg[7:NB8:8]
-    blk_ok = ((s7 + CAP) <= ((s0 // 128) * 128 + _SLK * 128)) \
-        .astype(jnp.int32)
-
     # sorted coords as (1, R*128) lane-major rows; pad so the last
-    # block's DMA window stays in bounds
-    R = -(-P // 128) + _SLK
+    # block's DMA window stays in bounds (one extra chunk for the
+    # overflow round, whose DMA base sits up to CAP lanes later)
+    R = -(-P // 128) + _SLK + 1
     def lanes(x):
         return jnp.pad(x, (0, R * 128 - P)).reshape(1, R * 128) \
             .astype(wdtype)
@@ -502,56 +512,84 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
 
     n_out = (1 if value else 0) + (3 if grad else 0) \
         + (6 if hess else 0)
-    kernel = partial(_gather_kernel, orders=tuple(orders), blo=blo,
-                     ext=ext, box=box, nb=nb, value=value, grad=grad,
-                     hess=hess)
     tspec = pl.BlockSpec((1, 8, tab), lambda c, k: (c, k, 0),
                          memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
     mspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     ospec = pl.BlockSpec((1, 1, 8, CAP), lambda c, k: (c, k, 0, 0),
                          memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(C, NBLK),
-        in_specs=[tspec, hspec, hspec, hspec, mspec, mspec],
-        out_specs=[ospec] * (n_out + 1),
-        out_shape=[jax.ShapeDtypeStruct((C, NBLK, 8, CAP), wdtype)]
-        * (n_out + 1),
-        scratch_shapes=[pltpu.VMEM((1, _SLK * 128), wdtype)] * 3
-        + [pltpu.SemaphoreType.DMA] * 3,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 2),
-        interpret=interpret,
-    )(tables, cxs, cys, czs, seg, blk_ok)
 
-    # slot results -> sorted order (one shared gather incl. the served
-    # mask) -> original order (one lax.sort; cheaper than a P-scatter)
+    def run_round(roff):
+        # a block is kernel-served only if all its rows' slot windows
+        # fit the _SLK-row DMA window (fails only under extreme
+        # clustering)
+        s0 = seg[0:NB8:8] + roff
+        s7 = seg[7:NB8:8] + roff
+        blk_ok = ((s7 + CAP) <= ((s0 // 128) * 128 + _SLK * 128)) \
+            .astype(jnp.int32)
+        kernel = partial(_gather_kernel, orders=tuple(orders), blo=blo,
+                         ext=ext, box=box, nb=nb, value=value,
+                         grad=grad, hess=hess, roff=roff)
+        return tuple(pl.pallas_call(
+            kernel,
+            grid=(C, NBLK),
+            in_specs=[tspec, hspec, hspec, hspec, mspec, mspec],
+            out_specs=[ospec] * (n_out + 1),
+            out_shape=[jax.ShapeDtypeStruct((C, NBLK, 8, CAP), wdtype)]
+            * (n_out + 1),
+            scratch_shapes=[pltpu.VMEM((1, _SLK * 128), wdtype)] * 3
+            + [pltpu.SemaphoreType.DMA] * 3,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",) * 2),
+            interpret=interpret,
+        )(tables, cxs, cys, czs, seg, blk_ok))
+
+    outs = run_round(0)
     keys = sch["keys"]
     rank = sch["rank"]
-    elig_s = keys < NBtot
-    slot_of_s = jnp.clip(keys, 0, NB8 - 1) * CAP + jnp.minimum(rank,
-                                                               CAP - 1)
     idx_s = sch["idx"]
+    elig_s = keys < NBtot
+
+    # overflow round: boxes with more than CAP points get ranks
+    # CAP..2*CAP-1 served by ONE extra kernel pass under a cond (the
+    # common case pays only the reduction); only ranks >= 2*CAP and
+    # DMA-window failures remain for the exact XLA fallback
+    over2 = (elig_s & (rank >= CAP)).any()
+    outs2 = jax.lax.cond(
+        over2, lambda _: run_round(CAP),
+        lambda _: tuple(jnp.zeros((C, NBLK, 8, CAP), wdtype)
+                        for _ in range(n_out + 1)), 0)
+
+    # slot results -> user order with ONE single-payload sort: sort the
+    # per-point slot code by original index, then gather every value
+    # plane (and the served mask) directly in user order.  Cheaper than
+    # the previous gather-in-sorted-order + sort-with-n_out*C-payloads.
+    SLOTS = NB8 * CAP
+    DEAD = 2 * SLOTS                        # the appended zero column
+    slot_code = jnp.where(
+        elig_s & (rank < CAP), keys * CAP + rank,
+        jnp.where(elig_s & (rank < 2 * CAP),
+                  SLOTS + keys * CAP + (rank - CAP), DEAD))
+    slot_u = jax.lax.sort((idx_s, slot_code.astype(jnp.int32)),
+                          num_keys=1)[1]
+
+    def cat2(o1, o2):
+        return jnp.concatenate(
+            [o1.reshape(C, SLOTS), o2.reshape(C, SLOTS),
+             jnp.zeros((C, 1), wdtype)], axis=1)
 
     flat = jnp.concatenate(
-        [o.reshape(C, NB8 * CAP) for o in outs[:n_out]]
-        + [outs[n_out].reshape(C, NB8 * CAP)[:1]], axis=0)
-    picked = flat[:, slot_of_s]             # (C*n_out + 1, P)
-    served = picked[-1] > 0.5
-    fb_s = (~elig_s) | (rank >= CAP) | (~served)
-    picked = picked[:-1] * (~fb_s).astype(wdtype)[None]
-
-    unsorted = jax.lax.sort(
-        (idx_s,) + tuple(picked[i] for i in range(C * n_out))
-        + (fb_s.astype(jnp.int32),), num_keys=1)
-    cols = unsorted[1:1 + C * n_out]
-    fb_orig = unsorted[-1] > 0
+        [cat2(outs[j], outs2[j]) for j in range(n_out)]
+        + [cat2(outs[n_out], outs2[n_out])[:1]], axis=0)
+    picked = flat[:, slot_u]                # (C*n_out + 1, P) user order
+    served_u = picked[-1] > 0.5             # DEAD column serves nobody
+    fb_orig = ~served_u
+    picked = picked[:-1] * served_u.astype(wdtype)[None]
 
     def pick(j):
         # output j (over value/grad planes), channels stacked; flat row
         # layout is [out0_c0..out0_cLast, out1_c0, ...]
-        return jnp.stack([cols[j * C + c] for c in range(C)], 0)
+        return jnp.stack([picked[j * C + c] for c in range(C)], 0)
 
     val_out = pick(0) if value else None
     gbase = 1 if value else 0
@@ -754,7 +792,7 @@ def grad_scattered(inp, grid, orders, bounds, extrapolate, *,
 
 def _splat_kernel(cx_hbm, cy_hbm, cz_hbm, vv_hbm, seg_ref, out_ref,
                   *bufs, orders, blo, ext, box, nb, spec, expad,
-                  eyzpad):
+                  eyzpad, roff=0):
     """One (channel, 8-box block) program: densify 8 boxes' splats.
 
     Third-generation kernel: fetches its own sorted coordinates AND
@@ -799,7 +837,7 @@ def _splat_kernel(cx_hbm, cy_hbm, cz_hbm, vv_hbm, seg_ref, out_ref,
     TOT = _SLK * 128
 
     scr, vscr, sems = bufs[0:3], bufs[3], bufs[4:]
-    s0 = seg_ref[8 * k]
+    s0 = seg_ref[8 * k] + roff
     a0 = (s0 // 128) * 128
     cps = []
     for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
@@ -828,8 +866,10 @@ def _splat_kernel(cx_hbm, cy_hbm, cz_hbm, vv_hbm, seg_ref, out_ref,
         base0 = ((b // (nb[1] * nb[2])) * box[0],
                  ((b // nb[2]) % nb[1]) * box[1],
                  (b % nb[2]) * box[2])
-        sr = seg_ref[8 * k + r]
+        sr = seg_ref[8 * k + r] + roff
         ok = ((sr - a0) + CAP <= TOT).astype(jnp.int32)
+        # negative counts (overflow-round rows of non-overflowing
+        # boxes) give an all-false valid mask via lane < cnt
         cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
         off = jnp.clip(sr - a0, 0, TOT - 128)
         g = [pltpu.roll(scr[d][...], TOT - off, 1)[:, :128]
@@ -921,8 +961,9 @@ def _splat_impl(rows, grid, oshape, orders, bounds, extrapolate,
                          (NB8 - NBtot,))]).astype(jnp.int32)
 
     # sorted coords / value rows as (*, R*128) lane-major streams; pad
-    # so the last block's DMA window stays in bounds
-    R = -(-P // 128) + _SLK
+    # so the last block's DMA window stays in bounds (one extra chunk
+    # for the overflow round, whose DMA base sits up to CAP lanes later)
+    R = -(-P // 128) + _SLK + 1
 
     def lanes(x):
         return jnp.pad(x, (0, R * 128 - P)).astype(wdtype)
@@ -941,50 +982,53 @@ def _splat_impl(rows, grid, oshape, orders, bounds, extrapolate,
     if nvpad != NV:
         vvs = jnp.pad(vvs, ((0, 0), (0, nvpad - NV), (0, 0)))
 
-    kernel = partial(_splat_kernel, orders=tuple(orders), blo=blo,
-                     ext=ext, box=box, nb=nb, spec=tuple(spec),
-                     expad=expad, eyzpad=eyzpad)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
     mspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_k = pl.pallas_call(
-        kernel,
-        grid=(C, NBLK),
-        in_specs=[hspec, hspec, hspec, hspec, mspec],
-        out_specs=pl.BlockSpec((1, 8, expad, eyzpad),
-                               lambda c, k: (c, k, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, NB8, expad, eyzpad), wdtype),
-        scratch_shapes=[pltpu.VMEM((1, _SLK * 128), wdtype)] * 3
-        + [pltpu.VMEM((1, nvpad, _SLK * 128), wdtype)]
-        + [pltpu.SemaphoreType.DMA] * 4,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 2),
-        interpret=interpret,
-    )(cxs, cys, czs, vvs, seg)
 
-    # inverse box relayout: patches -> padded volume (overlap-add), then
-    # fold the pad margins back through the boundaries
-    patches = out_k[:, :NBtot, :Ex, :eyz].reshape(
-        (C,) + nb + (Ex, Ey, Ez))
-    patches = patches.transpose(0, 1, 4, 2, 5, 3, 6)
-    x = _combine_axis(patches, nb[2], box[2], ext[2])
-    x = jnp.moveaxis(x, 5, 3)              # (C, NBx, Ex, Pz, NBy, Ey)
-    x = _combine_axis(x, nb[1], box[1], ext[1])
-    x = x.transpose(0, 3, 4, 1, 2)         # (C, Pz, Py, NBx, Ex)
-    x = _combine_axis(x, nb[0], box[0], ext[0])
-    x = x.transpose(0, 3, 2, 1)            # (C, Px, Py, Pz)
-    lo = list(blo)
-    hi = [nbd * bd - n + e - bd - bl
-          for nbd, bd, n, e, bl in zip(nb, box, oshape, ext, blo)]
-    vol = _fold_pad_margins(x, oshape, bounds, lo, hi, wdtype)
+    def run_round(roff):
+        kernel = partial(_splat_kernel, orders=tuple(orders), blo=blo,
+                         ext=ext, box=box, nb=nb, spec=tuple(spec),
+                         expad=expad, eyzpad=eyzpad, roff=roff)
+        out_k = pl.pallas_call(
+            kernel,
+            grid=(C, NBLK),
+            in_specs=[hspec, hspec, hspec, hspec, mspec],
+            out_specs=pl.BlockSpec((1, 8, expad, eyzpad),
+                                   lambda c, k: (c, k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, NB8, expad, eyzpad),
+                                           wdtype),
+            scratch_shapes=[pltpu.VMEM((1, _SLK * 128), wdtype)] * 3
+            + [pltpu.VMEM((1, nvpad, _SLK * 128), wdtype)]
+            + [pltpu.SemaphoreType.DMA] * 4,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",) * 2),
+            interpret=interpret,
+        )(cxs, cys, czs, vvs, seg)
 
-    # exact fallback for ineligible / capacity-overflow /
-    # DMA-window-overflow points, under one cond so the common case
-    # pays nothing.  The window predicate mirrors the kernel's per-row
-    # check: a point at sorted position i with within-box rank r sits
-    # in box segment start i-r; its block's DMA base is
-    # (blockstart // 128) * 128 with blockstart spread from the
-    # block-first markers by one associative scan (no gather).
+        # inverse box relayout: patches -> padded volume (overlap-add),
+        # then fold the pad margins back through the boundaries
+        patches = out_k[:, :NBtot, :Ex, :eyz].reshape(
+            (C,) + nb + (Ex, Ey, Ez))
+        patches = patches.transpose(0, 1, 4, 2, 5, 3, 6)
+        x = _combine_axis(patches, nb[2], box[2], ext[2])
+        x = jnp.moveaxis(x, 5, 3)          # (C, NBx, Ex, Pz, NBy, Ey)
+        x = _combine_axis(x, nb[1], box[1], ext[1])
+        x = x.transpose(0, 3, 4, 1, 2)     # (C, Pz, Py, NBx, Ex)
+        x = _combine_axis(x, nb[0], box[0], ext[0])
+        x = x.transpose(0, 3, 2, 1)        # (C, Px, Py, Pz)
+        lo = list(blo)
+        hi = [nbd * bd - n + e - bd - bl
+              for nbd, bd, n, e, bl in zip(nb, box, oshape, ext, blo)]
+        return _fold_pad_margins(x, oshape, bounds, lo, hi, wdtype)
+
+    vol = run_round(0)
+
+    # served predicates mirror the kernel's per-row checks point-wise:
+    # a point at sorted position i with within-box rank r sits in a box
+    # whose segment starts at i-r; its block's round-``roff`` DMA base
+    # is ((blockstart + roff) // 128) * 128 with blockstart spread from
+    # the block-first markers by one associative scan (no gather).
     keys, rank = sch["keys"], sch["rank"]
     iota = jnp.arange(P, dtype=jnp.int32)
     blkid = keys // 8
@@ -992,9 +1036,24 @@ def _splat_impl(rows, grid, oshape, orders, bounds, extrapolate,
                                  blkid[1:] != blkid[:-1]])
     blkstart = jax.lax.associative_scan(
         jnp.maximum, jnp.where(first_blk, iota, 0))
-    a0 = (blkstart // 128) * 128
-    window_ok = (iota - rank - a0) + CAP <= _SLK * 128
-    served_s = (keys < NBtot) & (rank < CAP) & window_ok
+    elig = keys < NBtot
+
+    def round_served(roff):
+        a0 = ((blkstart + roff) // 128) * 128
+        window_ok = (iota - rank + roff - a0) + CAP <= _SLK * 128
+        return (elig & (rank >= roff) & (rank < roff + CAP)
+                & window_ok)
+
+    # overflow round: boxes with more than CAP points get ranks
+    # CAP..2*CAP-1 splatted by ONE extra kernel pass under a cond (the
+    # common case pays only the reduction); only ranks >= 2*CAP and
+    # DMA-window failures remain for the exact XLA fallback
+    over2 = (elig & (rank >= CAP)).any()
+    vol = vol + jax.lax.cond(
+        over2, lambda _: run_round(CAP),
+        lambda _: jnp.zeros((C,) + oshape, wdtype), 0)
+
+    served_s = round_served(0) | round_served(CAP)
     unsorted = jax.lax.sort(
         (sch["idx"], (~served_s).astype(jnp.int32)), num_keys=1)
     fb_orig = unsorted[1] > 0

@@ -76,6 +76,39 @@ def test_scattered_capacity_overflow_exact():
                                atol=1e-11)
 
 
+def test_scattered_overflow_round_two():
+    """Between CAP and 2*CAP points in one box: the cond'd overflow
+    round serves ranks 128+ exactly (pull, grad, push), without the
+    XLA fallback."""
+    rng = np.random.default_rng(24)
+    ish = (16, 16, 32)
+    inp = jnp.asarray(rng.standard_normal((2,) + ish))
+    pts = jnp.asarray(np.concatenate([
+        # ~200 points clustered inside a single (4, 4, 8) box core
+        rng.uniform([4.0, 4.0, 8.0], [7.5, 7.5, 15.5], (200, 3)),
+        rng.uniform(0, np.asarray(ish) - 1, (300, 3)),
+    ]))
+    o, b = (3,) * 3, (3,) * 3
+    ref = nd.pull_core(inp, pts, o, b, 1)
+    out = sc.pull_scattered(inp, pts, o, b, 1, box=(4, 4, 8),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+    refg = nd.grad_core(inp, pts, o, b, 1)
+    outg = sc.grad_scattered(inp, pts, o, b, 1, box=(4, 4, 8),
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=1e-11)
+
+    vals = jnp.asarray(rng.standard_normal((2, pts.shape[0])))
+    refp = nd.push_core(vals, pts, ish, o, b, 1)
+    outp = sc.push_scattered(vals, pts, ish, o, b, 1, box=(4, 4, 8),
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                               atol=1e-11)
+
+
 def test_scattered_anisotropic_volume_and_order0():
     inp, pts = cloud(P=500, ish=(9, 20, 33), seed=3, C=1)
     o, b = (0, 1, 3), (5, 3, 6)
