@@ -177,6 +177,28 @@ def bench_secondary(n=256, order=3, max_disp=2.0):
     return out
 
 
+def bench_scattered(P=1_000_000, n=256, order=3):
+    """One-shot scattered pull (1M-point cloud into n^3, cubic) on the
+    box-sorted native tier — the round-3 jitfields-parity closer; a
+    headline key so tier regressions surface between BENCH_SUITE
+    refreshes.  Doctrine #5: the chain perturbs BOTH the volume (so the
+    box-table build is counted every iteration) and the points."""
+    from interpol_tpu.ops import scattered as sc
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.standard_normal((1, n, n, n)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0, n - 1, (P, 3)).astype(np.float32))
+    o, b = (order,) * 3, (3,) * 3
+
+    def body(c):
+        out = sc.pull_scattered(c[0], c[1], o, b, 1)
+        return (c[0] + 1e-9 * out[0, 0],
+                c[1].at[:, :].add(1e-9 * out[0, :, None]))
+
+    dt = slope_time(body, (vol, pts))
+    return P / dt / 1e9
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     wait_healthy()
@@ -210,6 +232,10 @@ def main():
         result.update(bench_secondary(n=n))
     except Exception as e:   # secondary keys are informative, not gating
         result["secondary_error"] = str(e)[:200]
+    try:
+        result["scattered_pull_gpt"] = round(bench_scattered(n=n), 4)
+    except Exception as e:
+        result["secondary_error"] = ("scattered: " + str(e))[:200]
     print(json.dumps(result))
 
 

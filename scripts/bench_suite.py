@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scripts_common import wait_healthy, slope_time  # noqa: E402
 
-HARNESS = "slope_fori_r3c"  # bumped per kernel-generation: re-measures all keys
+HARNESS = "slope_fori_r3d"  # bumped per kernel-generation: re-measures all keys
 # r3c: third-gen splat kernels (kernel-side value DMA, native pushgrad
 # backward), doctrine-#5 perturbation fixes in the scattered chains.
 OUT = os.path.join(os.path.dirname(os.path.dirname(

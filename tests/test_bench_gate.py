@@ -15,6 +15,7 @@ def _run_main(monkeypatch, capsys, gate):
     monkeypatch.setattr(bench, "parity_gate", gate)
     monkeypatch.setattr(bench, "bench_pull", lambda **k: 1.0)
     monkeypatch.setattr(bench, "bench_secondary", lambda **k: {})
+    monkeypatch.setattr(bench, "bench_scattered", lambda **k: 0.0)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     code = 0
     try:
@@ -72,6 +73,7 @@ def test_gate_catches_broken_kernel_end_to_end(monkeypatch, capsys):
     monkeypatch.setattr(bench, "wait_healthy", lambda *a, **k: 0.0)
     monkeypatch.setattr(bench, "bench_pull", lambda **k: 1.0)
     monkeypatch.setattr(bench, "bench_secondary", lambda **k: {})
+    monkeypatch.setattr(bench, "bench_scattered", lambda **k: 0.0)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
 
     from jax.experimental.pallas import tpu as pltpu
