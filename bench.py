@@ -234,8 +234,8 @@ def main():
         result["secondary_error"] = str(e)[:200]
     try:
         result["scattered_pull_gpt"] = round(bench_scattered(n=n), 4)
-    except Exception as e:
-        result["secondary_error"] = ("scattered: " + str(e))[:200]
+    except Exception as e:   # distinct key: must not mask secondary_error
+        result["scattered_error"] = str(e)[:200]
     print(json.dumps(result))
 
 

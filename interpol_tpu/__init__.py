@@ -17,7 +17,7 @@ from .options import BoundType, ExtrapolateType, InterpolationType  # noqa: F401
 from .ops.api import (  # noqa: F401
     grid_pull, grid_push, grid_count, grid_grad,
     spline_coeff, spline_coeff_nd,
-    identity_grid, add_identity_grid, affine_grid,
+    identity_grid, add_identity_grid, add_identity_grid_, affine_grid,
     pull, push, count, required_tile_spread,
 )
 from .ops.resize import resize, restrict  # noqa: F401
@@ -30,7 +30,8 @@ __version__ = "0.1.0"
 __all__ = [
     "grid_pull", "grid_push", "grid_count", "grid_grad",
     "spline_coeff", "spline_coeff_nd",
-    "identity_grid", "add_identity_grid", "affine_grid",
+    "identity_grid", "add_identity_grid", "add_identity_grid_",
+    "affine_grid",
     "pull", "push", "count", "required_tile_spread",
     "resize", "restrict",
     "compose_disp", "exp_disp", "disp_jacobian", "jacobian_det",

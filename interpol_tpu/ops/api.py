@@ -429,6 +429,12 @@ def add_identity_grid(disp: jnp.ndarray) -> jnp.ndarray:
     return disp + identity_grid(spatial, dtype=disp.dtype)
 
 
+# Drop-in alias for the reference's in-place variant (api.py:491-515):
+# JAX arrays are immutable, so the "in-place" spelling is the same
+# out-of-place computation — kept so reference code ports unchanged.
+add_identity_grid_ = add_identity_grid
+
+
 def affine_grid(mat: jnp.ndarray, shape: Sequence[int]) -> jnp.ndarray:
     """Dense sampling grid from affine matrices ``(..., D[+1], D+1)``
     over a ``shape``-sized volume (reference api.py:536-572)."""

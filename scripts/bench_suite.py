@@ -35,6 +35,9 @@ from scripts_common import wait_healthy, slope_time  # noqa: E402
 HARNESS = "slope_fori_r3d"  # bumped per kernel-generation: re-measures all keys
 # r3c: third-gen splat kernels (kernel-side value DMA, native pushgrad
 # backward), doctrine-#5 perturbation fixes in the scattered chains.
+# r3d: scattered-tier overflow round (lax.cond second pass when a box
+# overflows its 128-slot ladder) + single-payload return sort (slot
+# results come back via ONE shared gather + ONE lax.sort).
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_SUITE.jsonl")
 
