@@ -36,17 +36,30 @@ feasibility work, scripts/tpu_kernel_lab5.py):
      rank offset, launched under a ``lax.cond`` (the common case pays
      only the reduction) — clustered clouds degrade to a second ~10 ms
      pass, not a fallback storm.
-  5. **Exactness**: points outside the eligible region (outside the
+  5. **Sorted-stream return** (round 4): the kernel writes every value
+     plane directly at its points' *sorted-stream* positions — each
+     box-row's 128 results are lane-rolled to offset ``seg[box] - a0``
+     inside a 128-aligned window of a (C, n_out, ~P) stream that the
+     sequential (``dimension_semantics="arbitrary"``) program chain
+     read-modify-writes (zero-initialized via input/output aliasing;
+     rows of one block cover disjoint segment ranges, so the adds
+     never collide).  The stream then returns to user order with ONE
+     ``lax.sort`` carrying all planes as payload.  This replaces the
+     r3d epilogue (slot-code sort + per-point plane gather): lab-8
+     measured the XLA gather at ~7 ms per 1M indices *regardless of
+     index order* (the per-index cost is irreducible), while payload
+     sorts are ~1.5 ms nearly independent of width — so the only way
+     to win was to never gather at all.
+  6. **Exactness**: points outside the eligible region (outside the
      closed volume bounds), beyond both rounds' 256 slots, or in a
-     block whose slot window exceeds the coordinate-DMA slack are
-     reported unserved by the kernel's mask output and fall back to the
-     generic XLA gather core under a single ``lax.cond`` — never
-     silently dropped; the fallback costs nothing when no such point
-     exists.  The slot results return to user order with ONE
-     single-payload ``lax.sort`` of the per-point slot code followed by
-     one shared gather of every value plane directly in user order
-     (cheaper than gathering in sorted order and carrying every plane
-     through the sort, and than a P-sized scatter, on this part).
+     row whose slot window exceeds the coordinate-DMA slack are
+     unserved and fall back to the generic XLA gather core under a
+     single ``lax.cond`` — never silently dropped; the fallback costs
+     nothing when no such point exists.  The per-point served mask is
+     derived host-side with one associative scan (mirroring the
+     kernel's per-row predicates exactly, as the splat family already
+     does) — no gather, and uninitialized stream positions are
+     excluded with ``where`` before the unsort.
 
 Semantics match ops/ndkernels.pull_core / grad_core exactly (reference
 interpol/nd.py:80-143, 216-288).
@@ -288,15 +301,23 @@ def _gather_rows(tab, idx):
 
 
 # Lanes of sorted-point data DMA'd per 8-box block: the block's valid
-# slots live at sorted positions seg[8k] .. seg[8k+7]+CAP-1; a block
-# whose span exceeds this window (requires ~2.9k overflow points in 7
-# boxes) is routed to the exact fallback wholesale.
+# slots live at sorted positions seg[8k] .. seg[8k+7]+CAP-1; a row
+# whose slot window exceeds this window (requires ~2.9k overflow
+# points in the rows before it) is routed to the exact fallback.
 _SLK = 24   # window rows of 128 lanes -> 3072 lanes, 12 KB per coord
 
 
-def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
-                   *refs, orders, blo, ext, box, nb, value, grad,
-                   hess=False, roff=0):
+def _rows_pad(n_out):
+    """Sublane padding for the (n_out, stream) output window: DMA slice
+    extents on the sublane dim must be tile-aligned (the NV lesson in
+    _splat_impl — observed on-chip r3)."""
+    return n_out if n_out == 1 else (4 if n_out <= 4
+                                     else -(-n_out // 8) * 8)
+
+
+def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, zin_ref,
+                   out_hbm, *bufs, orders, blo, ext, box, nb, value,
+                   grad, hess=False, roff=0):
     """One (channel, 8-box block) program: fused value + 3 spatial
     derivatives (+ optionally the 6 unique second-derivative planes,
     order xx,yy,zz,xy,xz,yz) for 8 rows x 128 slots.
@@ -305,9 +326,23 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     128-aligned DMA per axis (the 8 boxes' segments are consecutive in
     sorted order); each row's 128 slots are extracted with a dynamic
     lane roll.  Taps are fetched from the block's (8, TAB) table rows
-    via the per-sublane-row gather cascade.  An extra `served` output
-    records which slots this kernel actually computed (0 for
-    capacity/window overflow -> exact XLA fallback).
+    via the per-sublane-row gather cascade.
+
+    Results leave in SORTED-STREAM layout (module docstring #5): row
+    r's 128 masked values are lane-rolled to offset ``seg[8k+r] - a0``
+    and accumulated into the block's 128-aligned (rows_pad, _SLK*128)
+    window of ``out_hbm`` (C, rows_pad, ~P) by read-modify-write.
+    The grid MUST run with sequential (``arbitrary``) semantics:
+    consecutive blocks' windows overlap, and block k+1's window fetch
+    must observe block k's write-back.  ``zin_ref`` is the
+    zero-initialized aliased input buffer (never read by the kernel;
+    aliasing it to the output is what guarantees the stream starts at
+    zero, since gaps between block windows are never written).  Rows
+    of one block cover disjoint sorted-position ranges, so the rolled
+    adds never collide; a row whose slot window exceeds the DMA
+    window (``seg[8k+r] - a0 + CAP > _SLK*128``) contributes zero and
+    its points are marked unserved by the host-side scan (exact XLA
+    fallback).
 
     ``roff`` (static): within-box rank offset — the overflow round
     re-launches the same kernel with roff=CAP to serve ranks
@@ -316,9 +351,10 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
     instead of an XLA gather-core fallback storm."""
     n_out = (1 if value else 0) + (3 if grad else 0) \
         + (6 if hess else 0)
-    out_refs = refs[:n_out + 1]           # + served mask
-    bufs = refs[n_out + 1:]               # 3 scratch windows + 3 sems
-    scr, sems = bufs[:3], bufs[3:6]
+    rpad = _rows_pad(n_out)
+    scr, sout = bufs[:3], bufs[3]
+    sems, semo = bufs[4:7], bufs[7]
+    c = pl.program_id(0)
     k = pl.program_id(1)
     tab = tab_ref[0]                      # (8, TAB)
     shape = (8, 128)
@@ -332,6 +368,12 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
             hbm.at[:, pl.ds(pl.multiple_of(a0, 128), TOT)], s, sems[i])
         cps.append(cp)
         cp.start()
+    # RMW fetch of this block's output window (previous blocks' writes
+    # to the overlap are complete: sequential grid + in-body waits)
+    cpo = pltpu.make_async_copy(
+        out_hbm.at[pl.ds(c, 1), :, pl.ds(pl.multiple_of(a0, 128), TOT)],
+        sout, semo)
+    cpo.start()
 
     # box ids of the 8 rows -> per-axis core origins (sublane column)
     b = k * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -342,17 +384,22 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
 
     for cp in cps:
         cp.wait()
-    ok = ok_ref[k]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     rows = [[], [], []]
     cnts = []
+    offs = []
     for r in range(8):
         sr = seg_ref[8 * k + r] + roff
+        # per-ROW window check (round 4; was per-block): row r is
+        # served only when its slot window fits the DMA window — the
+        # host-side scan reproduces this predicate point-wise.
+        ok = ((sr - a0) + CAP <= TOT).astype(jnp.int32)
         # negative counts (round-2 rows of non-overflowing boxes) give
         # an all-false valid mask via lane < cnt; no clamp needed
         cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
         cnts.append(cnt)
         off = jnp.clip(sr - a0, 0, TOT - 128)
+        offs.append(off)
         for d in range(3):
             flat = scr[d][...]
             rows[d].append(pltpu.roll(flat, TOT - off, 1)[:, :128])
@@ -415,9 +462,34 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, ok_ref,
         outs.extend(a * valid for a in acc_d)
     if hess:
         outs.extend(a * valid for a in acc_h)
-    outs.append(valid)                    # served mask
-    for ref, acc in zip(out_refs, outs):
-        ref[0, 0] = acc
+    # merge into the sorted stream: row r's planes, stacked on
+    # sublanes, rolled to lane offset seg[8k+r] - a0 and accumulated
+    # into the RMW'd window (disjoint segment ranges per row; lanes
+    # beyond cnt are zero, so overlapping 128-windows add zeros)
+    cpo.wait()
+    sv = sout[0]                          # (rows_pad, TOT)
+    zlane = jnp.zeros((rpad, TOT - 128), wdtype)
+    zrow = jnp.zeros((1, 128), wdtype)
+    for r in range(8):
+        # Mosaic rejects a lane-dim concat whose operands carry
+        # different SUBLANE offsets ("result/input offset mismatch on
+        # non-concat dimension", observed on-chip r4) — a bare
+        # ``o[r:r+1]`` slice keeps implicit sublane offset r.  A STATIC
+        # sublane roll (the cheap shuffle, ROUND_NOTES) re-bases row r
+        # to offset 0 before stacking.
+        rows_n = [pltpu.roll(o, (8 - r) % 8, 0)[:1] for o in outs]
+        rows_n += [zrow] * (rpad - n_out)
+        stk = rows_n[0] if len(rows_n) == 1 \
+            else jnp.concatenate(rows_n, axis=0)     # (rpad, 128)
+        w = jnp.concatenate([stk, zlane], axis=1)    # (rpad, TOT)
+        sv = sv + pltpu.roll(w, offs[r], 1)
+    sout[0] = sv
+    cpw = pltpu.make_async_copy(
+        sout,
+        out_hbm.at[pl.ds(c, 1), :, pl.ds(pl.multiple_of(a0, 128), TOT)],
+        semo)
+    cpw.start()
+    cpw.wait()
 
 
 def precompute_tables(inp, orders, bounds, box):
@@ -512,44 +584,44 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
 
     n_out = (1 if value else 0) + (3 if grad else 0) \
         + (6 if hess else 0)
+    rpad = _rows_pad(n_out)
+    PW = R * 128
     tspec = pl.BlockSpec((1, 8, tab), lambda c, k: (c, k, 0),
                          memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
     mspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ospec = pl.BlockSpec((1, 1, 8, CAP), lambda c, k: (c, k, 0, 0),
-                         memory_space=pltpu.VMEM)
 
     def run_round(roff):
-        # a block is kernel-served only if all its rows' slot windows
-        # fit the _SLK-row DMA window (fails only under extreme
-        # clustering)
-        s0 = seg[0:NB8:8] + roff
-        s7 = seg[7:NB8:8] + roff
-        blk_ok = ((s7 + CAP) <= ((s0 // 128) * 128 + _SLK * 128)) \
-            .astype(jnp.int32)
         kernel = partial(_gather_kernel, orders=tuple(orders), blo=blo,
                          ext=ext, box=box, nb=nb, value=value,
                          grad=grad, hess=hess, roff=roff)
-        return tuple(pl.pallas_call(
+        # the zeroed aliased input initializes the sorted stream (gaps
+        # between block windows are never written); the grid MUST be
+        # sequential ("arbitrary"): consecutive blocks RMW overlapping
+        # stream windows
+        return pl.pallas_call(
             kernel,
             grid=(C, NBLK),
-            in_specs=[tspec, hspec, hspec, hspec, mspec, mspec],
-            out_specs=[ospec] * (n_out + 1),
-            out_shape=[jax.ShapeDtypeStruct((C, NBLK, 8, CAP), wdtype)]
-            * (n_out + 1),
+            in_specs=[tspec, hspec, hspec, hspec, mspec, hspec],
+            out_specs=hspec,
+            out_shape=jax.ShapeDtypeStruct((C, rpad, PW), wdtype),
+            input_output_aliases={5: 0},
             scratch_shapes=[pltpu.VMEM((1, _SLK * 128), wdtype)] * 3
-            + [pltpu.SemaphoreType.DMA] * 3,
+            + [pltpu.VMEM((1, rpad, _SLK * 128), wdtype)]
+            + [pltpu.SemaphoreType.DMA] * 4,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",) * 2),
+                dimension_semantics=("arbitrary",) * 2),
             interpret=interpret,
-        )(tables, cxs, cys, czs, seg, blk_ok))
+        )(tables, cxs, cys, czs, seg,
+          jnp.zeros((C, rpad, PW), wdtype))
 
-    outs = run_round(0)
     keys = sch["keys"]
     rank = sch["rank"]
     idx_s = sch["idx"]
     elig_s = keys < NBtot
+    iota = jnp.arange(P, dtype=jnp.int32)
 
+    outs = run_round(0)
     # overflow round: boxes with more than CAP points get ranks
     # CAP..2*CAP-1 served by ONE extra kernel pass under a cond (the
     # common case pays only the reduction); only ranks >= 2*CAP and
@@ -557,39 +629,44 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
     over2 = (elig_s & (rank >= CAP)).any()
     outs2 = jax.lax.cond(
         over2, lambda _: run_round(CAP),
-        lambda _: tuple(jnp.zeros((C, NBLK, 8, CAP), wdtype)
-                        for _ in range(n_out + 1)), 0)
+        lambda _: jnp.zeros((C, rpad, PW), wdtype), 0)
 
-    # slot results -> user order with ONE single-payload sort: sort the
-    # per-point slot code by original index, then gather every value
-    # plane (and the served mask) directly in user order.  Cheaper than
-    # the previous gather-in-sorted-order + sort-with-n_out*C-payloads.
-    SLOTS = NB8 * CAP
-    DEAD = 2 * SLOTS                        # the appended zero column
-    slot_code = jnp.where(
-        elig_s & (rank < CAP), keys * CAP + rank,
-        jnp.where(elig_s & (rank < 2 * CAP),
-                  SLOTS + keys * CAP + (rank - CAP), DEAD))
-    slot_u = jax.lax.sort((idx_s, slot_code.astype(jnp.int32)),
-                          num_keys=1)[1]
+    # per-point served mask, derived with one associative scan — the
+    # exact point-wise mirror of the kernel's per-row predicates (same
+    # construction as _splat_impl's round_served; no gather)
+    blkid = keys // 8
+    first_blk = jnp.concatenate([jnp.ones((1,), bool),
+                                 blkid[1:] != blkid[:-1]])
+    blkstart = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first_blk, iota, 0))
 
-    def cat2(o1, o2):
-        return jnp.concatenate(
-            [o1.reshape(C, SLOTS), o2.reshape(C, SLOTS),
-             jnp.zeros((C, 1), wdtype)], axis=1)
+    def round_served(roff):
+        a0 = ((blkstart + roff) // 128) * 128
+        window_ok = (iota - rank + roff - a0) + CAP <= _SLK * 128
+        return (elig_s & (rank >= roff) & (rank < roff + CAP)
+                & window_ok)
 
-    flat = jnp.concatenate(
-        [cat2(outs[j], outs2[j]) for j in range(n_out)]
-        + [cat2(outs[n_out], outs2[n_out])[:1]], axis=0)
-    picked = flat[:, slot_u]                # (C*n_out + 1, P) user order
-    served_u = picked[-1] > 0.5             # DEAD column serves nobody
-    fb_orig = ~served_u
-    picked = picked[:-1] * served_u.astype(wdtype)[None]
+    r1 = round_served(0)
+    r2 = round_served(CAP)
+    served_s = r1 | r2
+    fb_s = ~served_s
+    # select (never multiply: unwritten stream positions are
+    # uninitialized under aliasing and may hold NaN) each point's value
+    # from the round that served it, then unsort EVERYTHING with one
+    # payload sort (lab-8: sorts are ~1.5 ms nearly independent of
+    # payload width; gathers cost ~7 ms per 1M indices)
+    vals_s = (jnp.where(r1[None, None], outs[:, :n_out, :P], 0)
+              + jnp.where(r2[None, None], outs2[:, :n_out, :P], 0))
+    sorted_back = jax.lax.sort(
+        (idx_s, fb_s.astype(jnp.int32))
+        + tuple(vals_s[c, j] for c in range(C) for j in range(n_out)),
+        num_keys=1)
+    fb_orig = sorted_back[1] > 0
+    planes = sorted_back[2:]
 
     def pick(j):
-        # output j (over value/grad planes), channels stacked; flat row
-        # layout is [out0_c0..out0_cLast, out1_c0, ...]
-        return jnp.stack([picked[j * C + c] for c in range(C)], 0)
+        # output j (over value/grad planes), channels stacked
+        return jnp.stack([planes[c * n_out + j] for c in range(C)], 0)
 
     val_out = pick(0) if value else None
     gbase = 1 if value else 0

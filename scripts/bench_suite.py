@@ -32,12 +32,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scripts_common import wait_healthy, slope_time  # noqa: E402
 
-HARNESS = "slope_fori_r3d"  # bumped per kernel-generation: re-measures all keys
+HARNESS = "slope_fori_r4"  # bumped per kernel-generation: re-measures all keys
 # r3c: third-gen splat kernels (kernel-side value DMA, native pushgrad
 # backward), doctrine-#5 perturbation fixes in the scattered chains.
 # r3d: scattered-tier overflow round (lax.cond second pass when a box
 # overflows its 128-slot ladder) + single-payload return sort (slot
 # results come back via ONE shared gather + ONE lax.sort).
+# r4: sorted-stream return in the gather kernel (results RMW'd into a
+# (C, n_out, ~P) stream at sorted positions; ONE payload sort back to
+# user order, NO per-point gather — lab-8: gathers are ~7 ms/1M
+# regardless of index order, sorts ~1.5 ms regardless of width);
+# per-ROW (was per-block) DMA-window fallback predicate.
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_SUITE.jsonl")
 
