@@ -45,11 +45,11 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_SUITE.jsonl")
 
 
-def record(entry):
+def record(entry, harness="sharded_cpu_mesh_r3"):
     entry["device"] = str(jax.devices()[0])
     entry["n_devices_avail"] = len(jax.devices())
     entry["ts"] = time.time()
-    entry["harness"] = "sharded_cpu_mesh_r3"
+    entry["harness"] = harness
     with open(OUT, "a") as f:
         f.write(json.dumps(entry) + "\n")
     print(json.dumps(entry), flush=True)
@@ -174,7 +174,76 @@ def bench_train_step(ndev=8, n=64):
     return dt
 
 
+def bench_points(op_name, P=200_000, n=64, ndev=8, order=3):
+    """Point-axis sharding (parallel/points.py) on the virtual mesh:
+    pull is zero-collective, push is one psum.  Like the slab rows,
+    this measures the *composition* overhead — the ratio of the
+    sharded run to a single-device run at the SAME local point count
+    (ideal = ndev on the 1-usable-core host, 1.0 with >= ndev cores).
+    The inner op is the XLA gather/scatter core (the CPU path); the
+    sharding layer is identical to what wraps the Pallas tier on TPU."""
+    from interpol_tpu.parallel import points as pp
+    from interpol_tpu.ops import ndkernels as nd
+
+    o, b = (order,) * 3, (3,) * 3
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal((1, 1) + (n,) * 3)
+                      .astype(np.float32))              # (B, C, *ishape)
+    pts = jnp.asarray(rng.uniform(0, n - 1, (1, P, 3))
+                      .astype(np.float32))              # (B, P, D)
+    vals = jnp.asarray(rng.standard_normal((1, 1, P))
+                       .astype(np.float32))             # (B, C, P)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("data",))
+
+    if op_name == "pull":
+        def body(c):        # sharded: out (B, C, P)
+            out = pp.pull_points(c[0], c[1], o, b, 1, mesh=mesh)
+            return (c[0] + 1e-9 * out[0, 0, 0],
+                    c[1] + 1e-9 * out[0, :1, :, None])
+
+        def bodyl(c):       # local, unbatched core at P/ndev points
+            out = nd.pull_core(c[0], c[1], o, b, 1)
+            return (c[0] + 1e-9 * out[0, 0],
+                    c[1] + 1e-9 * out[0, :, None])
+
+        dt, _ = slope_time(body, (vol, pts), R1=2, R2=8, iters=2)
+        dtl, _ = slope_time(bodyl, (vol[0], pts[0, :P // ndev]),
+                            R1=2, R2=8, iters=2)
+    else:
+        def body(c):        # sharded: out (B, C, *oshape) replicated
+            out = pp.push_points(c[0], c[1], (n,) * 3, o, b, 1,
+                                 mesh=mesh)
+            return (c[0] + 1e-9 * out[0, 0, 0, 0, 0],
+                    c[1] + 1e-9 * out[0, 0, 0, 0, :3])
+
+        def bodyl(c):
+            out = nd.push_core(c[0], c[1], (n,) * 3, o, b, 1)
+            return (c[0] + 1e-9 * out[0, 0, 0, 0],
+                    c[1] + 1e-9 * out[0, 0, 0, :3])
+
+        dt, _ = slope_time(body, (vals, pts), R1=2, R2=8, iters=2)
+        dtl, _ = slope_time(bodyl, (vals[0, :, :P // ndev],
+                                    pts[0, :P // ndev]),
+                            R1=2, R2=8, iters=2)
+    return dt, dtl
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "points":
+        P, n = 200_000, 64
+        for op in ("pull", "push"):
+            for ndev in (2, 4, 8):
+                dt, dtl = bench_points(op, P=P, n=n, ndev=ndev)
+                record({
+                    "key": f"sharded_points_{op}_P{P//1000}k_d{ndev}",
+                    "op": f"{op}_points_sharded", "points": P,
+                    "size": n, "ndev": ndev, "order": 3,
+                    "total_ms": round(dt * 1e3, 3),
+                    "gpt_s": round(P / dt / 1e9, 5),
+                    "local_ref_ms": round(dtl * 1e3, 3),
+                    "overhead_ratio": round(dt / dtl, 3),
+                }, harness="sharded_points_r4")
+        return
     ndevs = [int(a) for a in sys.argv[1:]] or [2, 4, 8]
     n = 64
     for op in ("pull", "grad", "push"):
