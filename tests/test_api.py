@@ -59,6 +59,20 @@ class TestShapes:
         out = itp.grid_count(grid, shape=(8, 7))
         assert out.shape == (4, 1, 8, 7)
 
+    def test_4d_volume_end_to_end(self):
+        # dim > 3 rides the generic N-D path everywhere (kernels,
+        # shape engine, per-axis prefilter); pulling a 4-D volume on
+        # its identity grid with prefilter must reproduce it exactly.
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.standard_normal((2, 4, 5, 3, 4)))
+        grid = itp.identity_grid((4, 5, 3, 4), dtype=img.dtype)
+        out = itp.grid_pull(img, grid, interpolation=3, bound="dct2",
+                            prefilter=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-10)
+        g = itp.grid_grad(img, grid, interpolation=2)
+        assert g.shape == (2, 4, 5, 3, 4, 4)
+
 
 class TestAgainstReference:
     def test_full_api_parity(self):

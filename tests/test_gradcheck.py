@@ -36,6 +36,7 @@ def make_data(dim, seed):
 FAST = [
     (2, 1, 3), (2, 2, 5), (2, 3, 0), (2, 0, 6),
     (1, 3, 4), (3, 1, 3), (3, 3, 3), (2, 5, 3),
+    (4, 2, 3),   # dim>3: the generic N-D path with no specialization
 ]
 
 

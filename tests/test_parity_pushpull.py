@@ -26,8 +26,8 @@ jgrad = jax.jit(pp.grad, static_argnums=(2, 3, 4))
 jhess = jax.jit(pp.hess, static_argnums=(2, 3, 4))
 jpushgrad = jax.jit(pp.pushgrad, static_argnums=(2, 3, 4, 5))
 
-ISHAPES = {1: (5,), 2: (5, 6), 3: (5, 6, 4)}
-OSHAPES = {1: (3,), 2: (3, 4), 3: (3, 4, 5)}
+ISHAPES = {1: (5,), 2: (5, 6), 3: (5, 6, 4), 4: (4, 5, 3, 4)}
+OSHAPES = {1: (3,), 2: (3, 4), 3: (3, 4, 5), 4: (2, 3, 4, 2)}
 
 
 def make_data(dim, seed=0):
@@ -58,16 +58,24 @@ FAST_CASES = [
     (3, (3, 3, 3), (0, 0, 0), 1),
     (3, (2, 3, 5), (4, 5, 1), 1),
     (3, (0, 0, 0), (6, 6, 6), 0),
+    # 4-D (no specialization anywhere: both the reference and this
+    # framework route dim>3 through their generic N-D kernels —
+    # interpol/pushpull.py:50-66 falls through to nd.pull)
+    (4, (1, 1, 1, 1), (3, 3, 3, 3), 1),
+    (4, (2, 2, 2, 2), (3, 3, 3, 3), 1),
+    (4, (3, 2, 1, 0), (0, 6, 3, 2), 1),   # mixed orders + mixed bounds
 ]
 
 
 def all_cases():
-    for dim in (1, 2, 3):
+    for dim in (1, 2, 3, 4):
         orderset = [(0,) * dim, (1,) * dim, (2,) * dim, (3,) * dim]
         if dim <= 2:
             orderset += [(5,) * dim, (7,) * dim]
-        else:
+        elif dim == 3:
             orderset += [(5, 5, 5)]
+        # dim 4: orders <= 3 (the reference oracle's Python node loop is
+        # (order+1)^4 iterations; order 3 = 256 already covers the path)
         if dim > 1:
             orderset += [tuple(range(2, 2 + dim))]  # mixed orders
         for orders in orderset:
@@ -116,8 +124,11 @@ def test_parity(dim, orders, bounds, ex):
     out = np.asarray(jcount(gj, ishape, orders, bounds, ex))
     np.testing.assert_allclose(out, ref, atol=atol)
 
-    # grad (skip reference nd order-1 sign bug for mixed orders)
-    if 1 not in orders or set(orders) == {1}:
+    # grad: skip the reference's nd-path order-1 sign bug
+    # (Spline(1).fastgrad, splines.py:90-97).  The nd path is hit for
+    # mixed orders at any dim, and for ALL orders — even pure order 1 —
+    # at dim > 3 (no iso1 specialization there, pushpull.py:50-66).
+    if 1 not in orders or (set(orders) == {1} and dim <= 3):
         ref = rpp.grid_grad(it, gt, lb, lo, ex).numpy()
         out = np.asarray(jgrad(ij, gj, orders, bounds, ex))
         np.testing.assert_allclose(out, ref, atol=atol)
