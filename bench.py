@@ -170,9 +170,14 @@ def bench_secondary(n=256, order=3, max_disp=2.0):
                    c[1]),
         (vol, grid))
     out["grad_gvox"] = round(n ** 3 / dt / 1e9, 4)
+    # coeff is ~1 ms/app at 256^3: the default R2=12 chain leaves only
+    # ~10 ms of contrast over the ~3 ms dispatch floor, so the recorded
+    # value wandered 16-44 Gvox/s between artifacts (BENCH_r03 22.2 vs
+    # suite 16.5 vs an earlier headline 44.4).  Widen the contrast the
+    # way bench_suite._adaptive_slope does for this op.
     dt = slope_time(
         lambda c: (cf.spline_coeff_nd(c[0], o, b, 3), c[1]),
-        (vol, grid))
+        (vol, grid), R1=2, R2=62)
     out["coeff_gvox"] = round(n ** 3 / dt / 1e9, 4)
     return out
 
