@@ -109,19 +109,20 @@ def _pad_grid_edge(grid, ishape_a):
 
 
 def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
-                 grad=False, base=None, d0_range=None):
+                 grad=False, hess=False, base=None, d0_range=None):
     """In-kernel per-axis coefficient planes.
 
-    Returns (weight_planes, grad_planes): lists of S arrays where plane
-    k is the weight (resp. spline derivative) this voxel applies to
-    relative shift smin+k.  ``grad_planes`` is None unless requested;
-    when requested it shares the tap recursion and the one-hot selects
-    with the weight planes.  ``base`` (dynamic scalar) re-centers the
-    shift window on the tile's base displacement (adaptive mode).
+    Returns (weight_planes, grad_planes, hess_planes): lists of S arrays
+    where plane k is the weight (resp. 1st/2nd spline derivative) this
+    voxel applies to relative shift smin+k.  ``grad_planes`` /
+    ``hess_planes`` are None unless requested; when requested they share
+    the tap recursion and the one-hot selects with the weight planes.
+    ``base`` (dynamic scalar) re-centers the shift window on the tile's
+    base displacement (adaptive mode).
     """
     n0f = jnp.floor(g - (order - 1) / 2) if order > 0 else jnp.round(g)
     t = g - n0f
-    w, gr, _ = bspline_taps(t, order, grad=grad)
+    w, gr, he = bspline_taps(t, order, grad=grad, hess=hess)
     # delta0 = n0 - p, p = global voxel index along `axis` for this tile
     p = origin + jax.lax.broadcasted_iota(jnp.int32, tile_shape, axis)
     d0 = n0f.astype(jnp.int32) - p
@@ -131,10 +132,12 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
     # FULL window's bounds or taps at chunk edges are dropped
     d0min, d0max = d0_range if d0_range is not None \
         else (smin, smax - order)
-    planes_w, planes_g = [], ([] if grad else None)
+    planes_w = []
+    planes_g = [] if grad else None
+    planes_h = [] if hess else None
     zero = jnp.zeros_like(g)
     for s in range(smin, smax + 1):
-        acc_w = acc_g = None
+        acc_w = acc_g = acc_h = None
         for j in range(order + 1):
             if d0min <= s - j <= d0max:
                 m = d0 == s - j
@@ -143,17 +146,28 @@ def _coef_planes(g, order, smin, smax, origin, axis, tile_shape,
                 if grad:
                     tg = jnp.where(m, gr[j], 0)
                     acc_g = tg if acc_g is None else acc_g + tg
+                if hess:
+                    th = jnp.where(m, he[j], 0)
+                    acc_h = th if acc_h is None else acc_h + th
         planes_w.append(acc_w if acc_w is not None else zero)
         if grad:
             planes_g.append(acc_g if acc_g is not None else zero)
-    return planes_w, planes_g
+        if hess:
+            planes_h.append(acc_h if acc_h is not None else zero)
+    return planes_w, planes_g, planes_h
 
 
 def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
                  orders, ranges, tile, box_shape, value, grad,
-                 base_margin=None, active=None, d0_ranges=None):
-    """Fused windowed pull: up to 4 outputs (value, d/dx, d/dy, d/dz)
-    from one pass over the shift window.
+                 hess=False, base_margin=None, active=None,
+                 d0_ranges=None):
+    """Fused windowed pull: up to 10 outputs (value, d/dx, d/dy, d/dz,
+    and the six unique Hessian components xx, yy, zz, xy, xz, yz) from
+    one pass over the shift window.  The Hessian components reuse the
+    value path's weight z-sums and the gradient path's derivative
+    z-sums; only one extra z-sum (second-derivative z planes) and six
+    accumulators are added — serving grad_window's grid-VJP at native
+    speed (reference contract interpol/pushpull.py:206-233).
 
     Adaptive mode (``base_margin`` = static per-axis pad margins): three
     extra SMEM inputs hold the per-tile integer base displacements; the
@@ -273,20 +287,24 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     shape = (TX, TY, TZ)
 
     d0r = d0_ranges or (None, None, None)
+    need_g = grad or hess
 
     def _planes(g_ref, order, a0, a1, s0, org, axis, base, dr):
-        w, gr = _coef_planes(g_ref[0], order, a0, a1, org, axis, shape,
-                             grad=grad, base=base, d0_range=dr)
-        wd = dict(zip(range(a0 - s0, a1 - s0 + 1), w))
-        gd = dict(zip(range(a0 - s0, a1 - s0 + 1), gr)) if grad else None
-        return wd, gd
+        w, gr, he = _coef_planes(g_ref[0], order, a0, a1, org, axis,
+                                 shape, grad=need_g, hess=hess,
+                                 base=base, d0_range=dr)
+        ks = range(a0 - s0, a1 - s0 + 1)
+        wd = dict(zip(ks, w))
+        gd = dict(zip(ks, gr)) if need_g else None
+        hd = dict(zip(ks, he)) if hess else None
+        return wd, gd, hd
 
-    cxs, gxs = _planes(gx_ref, orders[0], ax0, ax1, sx0, x0, 0, bx,
-                       d0r[0])
-    cys, gys = _planes(gy_ref, orders[1], ay0, ay1, sy0, y0, 1, by,
-                       d0r[1])
-    czs, gzs = _planes(gz_ref, orders[2], az0, az1, sz0, z0, 2, bz,
-                       d0r[2])
+    cxs, gxs, hxs = _planes(gx_ref, orders[0], ax0, ax1, sx0, x0, 0, bx,
+                            d0r[0])
+    cys, gys, hys = _planes(gy_ref, orders[1], ay0, ay1, sy0, y0, 1, by,
+                            d0r[1])
+    czs, gzs, hzs = _planes(gz_ref, orders[2], az0, az1, sz0, z0, 2, bz,
+                            d0r[2])
 
     bval = jnp.where(parity == 0, box0[...], box1[...])
     if adaptive:
@@ -300,21 +318,28 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
     acc_dx = jnp.zeros(shape, dt) if grad else None
     acc_dy = jnp.zeros(shape, dt) if grad else None
     acc_dz = jnp.zeros(shape, dt) if grad else None
+    if hess:
+        acc_h = {k: jnp.zeros(shape, dt)
+                 for k in ("xx", "yy", "zz", "xy", "xz", "yz")}
 
     for ky in kys:
         ys = bval if ky == 0 else pltpu.roll(bval, BYa - ky, 1)
         ys = ys[:, 0:TY, :]
         zvals = {kz: ys[:, :, kz:kz + TZ] for kz in kzs}
         zc = {kx: None for kx in kxs}   # weight z-sums
-        zg = {kx: None for kx in kxs}   # derivative z-sums (d/dz)
+        zg = {kx: None for kx in kxs}   # 1st-derivative z-sums
+        zh = {kx: None for kx in kxs}   # 2nd-derivative z-sums
         for kz in kzs:
             for kx in kxs:
                 seg = zvals[kz][kx:kx + TX]
                 t = czs[kz] * seg
                 zc[kx] = t if zc[kx] is None else zc[kx] + t
-                if grad:
+                if need_g:
                     t = gzs[kz] * seg
                     zg[kx] = t if zg[kx] is None else zg[kx] + t
+                if hess:
+                    t = hzs[kz] * seg
+                    zh[kx] = t if zh[kx] is None else zh[kx] + t
         for kx in kxs:
             cc = cxs[kx] * cys[ky]
             if value:
@@ -323,12 +348,22 @@ def _warp_kernel(gx_ref, gy_ref, gz_ref, vpad_hbm, *out_refs,
                 acc_dz = acc_dz + cc * zg[kx]
                 acc_dx = acc_dx + (gxs[kx] * cys[ky]) * zc[kx]
                 acc_dy = acc_dy + (cxs[kx] * gys[ky]) * zc[kx]
+            if hess:
+                acc_h["xx"] = acc_h["xx"] + (hxs[kx] * cys[ky]) * zc[kx]
+                acc_h["yy"] = acc_h["yy"] + (cxs[kx] * hys[ky]) * zc[kx]
+                acc_h["zz"] = acc_h["zz"] + cc * zh[kx]
+                acc_h["xy"] = acc_h["xy"] + (gxs[kx] * gys[ky]) * zc[kx]
+                acc_h["xz"] = acc_h["xz"] + (gxs[kx] * cys[ky]) * zg[kx]
+                acc_h["yz"] = acc_h["yz"] + (cxs[kx] * gys[ky]) * zg[kx]
 
     outs = []
     if value:
         outs.append(acc_v)
     if grad:
         outs.extend([acc_dx, acc_dy, acc_dz])
+    if hess:
+        outs.extend(acc_h[k] for k in ("xx", "yy", "zz", "xy", "xz",
+                                       "yz"))
     for ref, acc in zip(out_refs, outs):
         ref[0] = acc
 
@@ -432,17 +467,23 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                 orders: Tuple[int, ...], bounds: Tuple[int, ...],
                 extrapolate: int, max_disp: float, *,
                 value: bool = True, grad: bool = False,
+                hess: bool = False,
                 spread=None, ranges_override=None, active=None,
                 d0_ranges=None,
                 tile: Tuple[int, int, int] = None,
                 interpret: bool = False):
-    """Fused dense-grid 3D pull / spatial gradient on the native tier.
+    """Fused dense-grid 3D pull / spatial gradient / Hessian on the
+    native tier.
 
     inp: (C, *ishape); grid: (*ishape, 3).  Returns ``(val, g)`` where
     ``val`` is (C, *ishape) or None and ``g`` is (C, *ishape, 3) or
-    None, per the ``value`` / ``grad`` flags.  Channels ride a kernel
-    grid dimension (single launch); batching above this is vmap.
-    Same semantics/contract as ops/window.pull_window / grad_window.
+    None, per the ``value`` / ``grad`` flags; with ``hess=True`` the
+    return is ``(val, g, h)`` with ``h`` the symmetric (C, *ishape, 3,
+    3) spatial Hessian (the six unique components come from the same
+    single pass over the shift window).  Channels ride a kernel grid
+    dimension (single launch); batching above this is vmap.  Same
+    semantics/contract as ops/window.pull_window / grad_window /
+    hess_window.
 
     ``spread``: opt-in adaptive per-tile windows.  A per-axis bound on
     the *residual* displacement |d_a(p) - round(mean_tile(d_a))| over
@@ -462,7 +503,7 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         raise ValueError("warp_pallas is 3-D only")
     if grid.shape != ishape + (D,):
         raise ValueError("warp_pallas needs a dense (X,Y,Z,3) grid")
-    if not (value or grad):
+    if not (value or grad or hess):
         raise ValueError("nothing to compute")
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     # compute in at least f32: bf16 accumulation over S^3 taps is lossy
@@ -503,7 +544,8 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
 
     kernel = partial(_warp_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
-                     value=value, grad=grad, base_margin=base_margin,
+                     value=value, grad=grad, hess=hess,
+                     base_margin=base_margin,
                      active=active, d0_ranges=d0_ranges)
     gspec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (0, i, j, k),
@@ -512,7 +554,7 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                          lambda c, i, j, k: (c, i, j, k),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_out = (1 if value else 0) + (3 if grad else 0)
+    n_out = (1 if value else 0) + (3 if grad else 0) + (6 if hess else 0)
     g = grid.astype(wdtype)[None]
     outs = pl.pallas_call(
         kernel,
@@ -547,8 +589,15 @@ def warp_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         outs = [o * mask for o in outs]
     outs = [o.astype(out_dtype) for o in outs]
     val = outs[0] if value else None
-    gout = jnp.stack(outs[-3:], axis=-1) if grad else None
-    return val, gout
+    i = (1 if value else 0)
+    gout = jnp.stack(outs[i:i + 3], axis=-1) if grad else None
+    if not hess:
+        return val, gout
+    xx, yy, zz, xy, xz, yz = outs[-6:]
+    hout = jnp.stack([jnp.stack([xx, xy, xz], axis=-1),
+                      jnp.stack([xy, yy, yz], axis=-1),
+                      jnp.stack([xz, yz, zz], axis=-1)], axis=-2)
+    return val, gout, hout
 
 
 def pull_window_pallas(inp, grid, orders, bounds, extrapolate, max_disp,
@@ -567,11 +616,19 @@ def pull_window_pallas(inp, grid, orders, bounds, extrapolate, max_disp,
 
 # ---------------------------------------------------------------- push
 
-def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, *refs,
+def _push_kernel(gx_ref, gy_ref, gz_ref, *refs,
                  orders, ranges, tile, box_shape, active=None,
-                 d0_ranges=None, base_margin=None):
+                 d0_ranges=None, base_margin=None, deriv=False):
     """Exact adjoint of the pull kernel's data movement: splat one
     tile's values into its private halo-extended box.
+
+    ``deriv`` (pushgrad mode): three value inputs — the per-axis
+    cotangents of the spatial gradient — are splatted through the
+    derivative coefficient planes (d/dx, d/dy, d/dz respectively) into
+    ONE shared box: the adjoint of grad_window (reference contract
+    interpol/pushpull.py:176-203, grid_pushgrad).  Same data movement
+    as the plain splat — only the per-(kx,ky,kz) weighting changes
+    (three FMAs instead of one).
 
     Transposed v3 structure — per (ky, kz): accumulate the x-placed
     rows (leading-dim list, free placement), then one lane-roll to
@@ -589,6 +646,8 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, *refs,
     are free there; in-kernel dynamic rolls only exist for the
     sublane/lane axes).
     """
+    val_refs = refs[:1]
+    refs = refs[1:]
     adaptive = base_margin is not None
     if adaptive:
         bx_ref, by_ref, bz_ref = refs[:3]
@@ -615,36 +674,64 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, *refs,
         bx = by = bz = None
 
     shape = (TX, TY, TZ)
-    cxs, _ = _coef_planes(gx_ref[0], orders[0], ax0, ax1, x0, 0, shape,
-                          d0_range=d0r[0], base=bx)
-    cys, _ = _coef_planes(gy_ref[0], orders[1], ay0, ay1, y0, 1, shape,
-                          d0_range=d0r[1], base=by)
-    czs, _ = _coef_planes(gz_ref[0], orders[2], az0, az1, z0, 2, shape,
-                          d0_range=d0r[2], base=bz)
+    cxs, gxs, _ = _coef_planes(gx_ref[0], orders[0], ax0, ax1, x0, 0,
+                               shape, grad=deriv, d0_range=d0r[0],
+                               base=bx)
+    cys, gys, _ = _coef_planes(gy_ref[0], orders[1], ay0, ay1, y0, 1,
+                               shape, grad=deriv, d0_range=d0r[1],
+                               base=by)
+    czs, gzs, _ = _coef_planes(gz_ref[0], orders[2], az0, az1, z0, 2,
+                               shape, grad=deriv, d0_range=d0r[2],
+                               base=bz)
     cxs = dict(zip(kxs, cxs))
     cys = dict(zip(kys, cys))
     czs = dict(zip(kzs, czs))
-
-    val = val_ref[0]
-    # z-weighted values, shared across (kx, ky)
-    vzs = {kz: czs[kz] * val for kz in kzs}
+    if deriv:
+        gxs = dict(zip(kxs, gxs))
+        gys = dict(zip(kys, gys))
+        gzs = dict(zip(kzs, gzs))
+        # the three cotangent streams ride ONE ref on a free leading
+        # component dim — three separate same-shaped VMEM inputs
+        # MISCOMPILE on-chip (observed r5: correct in interpret mode,
+        # ~O(1) relative error compiled, even with the derivative
+        # planes swapped out; restacking onto a leading dim of a
+        # single ref fixes it)
+        vv = val_refs[0]
+        vx, vy, vz = vv[0, 0], vv[0, 1], vv[0, 2]
+        # z-weighted values, shared across (kx, ky): the d/dz channel
+        # takes the derivative z planes, the others the weight planes
+        vzs = {kz: (czs[kz] * vx, czs[kz] * vy, gzs[kz] * vz)
+               for kz in kzs}
+    else:
+        val = val_refs[0][0]
+        # z-weighted values, shared across (kx, ky)
+        vzs = {kz: czs[kz] * val for kz in kzs}
 
     zpad = BZa - TZ
     ypad = BYa - TY
     acc = None                              # (BXa, BYa, BZa) value
     for ky in kys:
-        cxys = {kx: cxs[kx] * cys[ky] for kx in kxs}
+        if deriv:
+            cxys = {kx: (gxs[kx] * cys[ky], cxs[kx] * gys[ky],
+                         cxs[kx] * cys[ky]) for kx in kxs}
+        else:
+            cxys = {kx: cxs[kx] * cys[ky] for kx in kxs}
         wk = None                           # (BXa, TY, BZa) value
         for kz in kzs:
             # x-placed rows: rows[u] = sum_{kx: u-kx in tile} cxy*vz
             rows = [None] * BXa
             for kx in kxs:
-                wxy = cxys[kx] * vzs[kz]              # (TX, TY, TZ)
+                if deriv:
+                    a0, a1, a2 = cxys[kx]
+                    v0, v1, v2 = vzs[kz]
+                    wxy = a0 * v0 + a1 * v1 + a2 * v2  # (TX, TY, TZ)
+                else:
+                    wxy = cxys[kx] * vzs[kz]           # (TX, TY, TZ)
                 for x in range(TX):
                     u = x + kx
                     r = wxy[x]
                     rows[u] = r if rows[u] is None else rows[u] + r
-            zero = jnp.zeros((TY, TZ), val.dtype)
+            zero = jnp.zeros((TY, TZ), val_refs[0].dtype)
             R = jnp.stack([r if r is not None else zero for r in rows])
             R = jnp.pad(R, ((0, 0), (0, 0), (0, zpad)))
             R = R if kz == 0 else pltpu.roll(R, kz, 2)   # z-place
@@ -653,7 +740,7 @@ def _push_kernel(gx_ref, gy_ref, gz_ref, val_ref, *refs,
         wk = wk if ky == 0 else pltpu.roll(wk, ky, 1)    # y-place
         acc = wk if acc is None else acc + wk
     if acc is None:
-        acc = jnp.zeros((BXa, BYa, BZa), val.dtype)
+        acc = jnp.zeros((BXa, BYa, BZa), val_refs[0].dtype)
     if adaptive:
         # apply the per-tile base on the sublane/lane axes with one
         # dynamic roll each (the 2*B margins absorb any base)
@@ -699,7 +786,7 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                        tile: Tuple[int, int, int] = None,
                        interpret: bool = False, ranges_override=None,
                        active=None, d0_ranges=None,
-                       spread=None) -> jnp.ndarray:
+                       spread=None, deriv: bool = False) -> jnp.ndarray:
     """Dense-grid 3D push (exact adjoint of the pull kernel).
 
     inp: (C, *ishape) values at grid sites; grid: (*ishape, 3).
@@ -713,15 +800,22 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     the overlap-add epilogue then applies per-tile dynamic x-offsets
     sequentially (lax.fori_loop), y/z bases having been rolled into
     the in-box margins by the kernel.
+
+    ``deriv`` (pushgrad): inp is (C, *ishape, 3) per-axis cotangents of
+    the spatial gradient, splatted through the derivative coefficient
+    planes into one shared box per tile — the native adjoint of
+    grad_window (reference interpol/pushpull.py:176-203).
     """
     C = inp.shape[0]
-    ishape = tuple(inp.shape[1:])
+    ishape = tuple(inp.shape[1:-1] if deriv else inp.shape[1:])
     tile = tile or default_tile(ishape, push=True)
     D = 3
     if tile is None:
         raise ValueError("push_window_pallas is 3-D only")
     if grid.shape != ishape + (D,):
         raise ValueError("push_window_pallas needs a dense (X,Y,Z,3) grid")
+    if deriv and inp.shape[-1] != D:
+        raise ValueError("pushgrad values must be (C, X, Y, Z, 3)")
     out_dtype = jnp.result_type(inp.dtype, grid.dtype)
     wdtype = jnp.promote_types(out_dtype, jnp.float32)
 
@@ -740,14 +834,16 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     vals = inp.astype(wdtype)
     mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
     if mask is not None:
-        vals = vals * mask.reshape((1,) + ishape)
+        mshape = (1,) + ishape + ((1,) if deriv else ())
+        vals = vals * mask.reshape(mshape)
 
     # tile-alignment padding: zero values in the margin contribute
     # nothing; edge-replicated grid coords keep the kernel well-defined
     ishape_a = _aligned(ishape, tile)
     extra = [a - n for a, n in zip(ishape_a, ishape)]
     if any(extra):
-        vals = jnp.pad(vals, [(0, 0)] + [(0, e) for e in extra])
+        vals = jnp.pad(vals, [(0, 0)] + [(0, e) for e in extra]
+                       + ([(0, 0)] if deriv else []))
         if adaptive:
             _, grid = _adaptive_disp(grid, ishape, ishape_a, wdtype)
         else:
@@ -768,7 +864,7 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
     kernel = partial(_push_kernel, orders=tuple(orders), ranges=ranges,
                      tile=tuple(tile), box_shape=box_shape,
                      active=active, d0_ranges=d0_ranges,
-                     base_margin=Bm)
+                     base_margin=Bm, deriv=deriv)
     gspec = pl.BlockSpec((1,) + tuple(tile),
                          lambda c, i, j, k: (0, i, j, k),
                          memory_space=pltpu.VMEM)
@@ -777,10 +873,21 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     g = grid.astype(wdtype)[None]
+    if deriv:
+        # single stacked (C, 3, X, Y, Z) stream: the component dim is a
+        # free leading block dim (three separate value inputs
+        # miscompile on-chip — see the kernel comment)
+        vins = [jnp.moveaxis(vals, -1, 1)]
+        vspec_in = pl.BlockSpec((1, D) + tuple(tile),
+                                lambda c, i, j, k: (c, 0, i, j, k),
+                                memory_space=pltpu.VMEM)
+    else:
+        vins = [vals]
+        vspec_in = vspec
     boxes = pl.pallas_call(
         kernel,
         grid=(C,) + ntiles,
-        in_specs=[gspec, gspec, gspec, vspec]
+        in_specs=[gspec, gspec, gspec, vspec_in]
         + [sspec] * (3 if adaptive else 0),
         out_specs=pl.BlockSpec((1, 1, 1, 1) + box_shape,
                                lambda c, i, j, k: (c, i, j, k, 0, 0, 0),
@@ -789,7 +896,7 @@ def push_window_pallas(inp: jnp.ndarray, grid: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 4),
         interpret=interpret,
-    )(g[..., 0], g[..., 1], g[..., 2], vals, *bs)
+    )(g[..., 0], g[..., 1], g[..., 2], *vins, *bs)
 
     if adaptive:
         # sequential overlap-add with per-tile dynamic x origins (the

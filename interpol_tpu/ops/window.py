@@ -215,7 +215,8 @@ def _should_pallas(ishape) -> bool:
     if be == "xla":
         return False
     from .pallas_warp import default_tile
-    eligible = (default_tile(ishape) is not None or len(ishape) == 2)
+    eligible = (default_tile(ishape) is not None
+                or len(ishape) in (1, 2))
     if be == "pallas":
         return eligible
     return eligible and jax.default_backend() == "tpu"
@@ -237,6 +238,14 @@ _PUSH_SPAN_CAP = 19   # transposed-placement push compiles to span 19
 # dynamic de-residue rolls): spans (13,13,14) measured 17.98M scoped
 # VMEM on v5e (limit 16M), so its chunking cap sits lower.
 _ADAPTIVE_SPAN_CAP = 12
+# Second-order kernels: the fused hess pass holds one extra z-sum, a
+# third plane family and six accumulators; the pushgrad splat holds
+# three value streams and two plane families.  Caps verified compiled
+# on v5e (scripts/tpu_prod_check.py second_order).
+_HESS_SPAN_CAP = 12
+_HESS_ADAPTIVE_SPAN_CAP = 10
+_PUSHGRAD_SPAN_CAP = 14
+_PUSHGRAD_ADAPTIVE_SPAN_CAP = 12
 
 
 def _range_chunks(r, cap):
@@ -272,52 +281,125 @@ def _chunk_calls(orders, md, cap):
     return _chunk_ranges(full, orders, cap)
 
 
+def _lift3(inp, grid, orders, bounds, max_disp, spread, deriv=False):
+    """Lift a D<3 dense warp into the 3-D kernels with ``3-D`` dummy
+    leading axes (order 0, zero displacement, replicate bound — window
+    span 1, no extra compute).  ``deriv``: the input carries a trailing
+    per-axis component dim (pushgrad cotangents); dummy-axis components
+    are zero.  Returns the lifted operands plus the tile to use."""
+    D = grid.shape[-1]
+    nd = 3 - D
+    zeros = jnp.zeros(grid.shape[:-1] + (nd,), grid.dtype)
+    grid = jnp.concatenate([zeros, grid], axis=-1)
+    grid = grid.reshape((1,) * nd + grid.shape)
+    if deriv:
+        zv = jnp.zeros(inp.shape[:-1] + (nd,), inp.dtype)
+        inp = jnp.concatenate([zv, inp], axis=-1)
+    inp = inp.reshape((inp.shape[0],) + (1,) * nd + inp.shape[1:])
+    orders = (0,) * nd + tuple(orders)
+    bounds = (1,) * nd + tuple(bounds)
+    md = (0.0,) * nd + _md_tuple(max_disp, D)
+    spread = None if spread is None \
+        else (0.0,) * nd + _md_tuple(spread, D)
+    tile = (1, 8, 128) if nd == 1 else (1, 1, 128)
+    return inp, grid, orders, bounds, md, spread, tile, nd
+
+
+def _warp_chunks(orders, md, spread, cap):
+    """Wide-window chunk triples (or None): a residual/plain window
+    wider than the single-launch VMEM cap is CHUNKED into exact
+    sub-range launches that sum (same per-tile bases in adaptive
+    mode)."""
+    if spread is not None:
+        sp = _md_tuple(spread, len(orders))
+        res = tuple(window_range(o, s) for o, s in zip(orders, sp))
+        return _chunk_ranges(res, orders, cap)
+    return _chunk_calls(orders, md, cap)
+
+
 def _pallas_warp(inp, grid, orders, bounds, extrapolate, max_disp,
-                 value, grad, spread=None):
-    """Dispatch into the 3-D Pallas kernel; 2-D warps are lifted with a
-    dummy leading axis (order 0, zero displacement, window span 1 — no
-    extra compute)."""
+                 value, grad, spread=None, hess=False):
+    """Dispatch into the fused 3-D Pallas pull/grad/hess kernel; 1-D and
+    2-D warps are lifted with dummy leading axes (see :func:`_lift3`).
+    Returns ``(val, g, h)`` (None where not requested)."""
     from .pallas_warp import warp_pallas
     D = grid.shape[-1]
     md = _md_tuple(max_disp, D)
-    if D == 3:
-        if spread is not None:
-            # a residual window wider than the single-launch VMEM cap is
-            # CHUNKED exactly like the plain window: sub-range launches
-            # over the residual shifts that sum (same per-tile base)
-            sp = _md_tuple(spread, D)
-            res = tuple(window_range(o, s) for o, s in zip(orders, sp))
-            chunks = _chunk_ranges(res, orders, _ADAPTIVE_SPAN_CAP)
-        else:
-            chunks = _chunk_calls(orders, md, _SPAN_CAP)
-        if chunks is not None:
-            val = g = None
-            for geo, sub, d0r in chunks:
-                v, gg = warp_pallas(inp, grid, tuple(orders),
-                                    tuple(bounds), extrapolate, md,
-                                    value=value, grad=grad, spread=spread,
-                                    ranges_override=geo, active=sub,
-                                    d0_ranges=d0r)
-                if value:
-                    val = v if val is None else val + v
-                if grad:
-                    g = gg if g is None else g + gg
-            return val, g
-        return warp_pallas(inp, grid, tuple(orders), tuple(bounds),
+    tile = None
+    nd = 0
+    if D < 3:
+        (inp, grid, orders, bounds, md, spread, tile,
+         nd) = _lift3(inp, grid, orders, bounds, max_disp, spread)
+    if hess:
+        cap = _HESS_ADAPTIVE_SPAN_CAP if spread is not None \
+            else _HESS_SPAN_CAP
+    else:
+        cap = _ADAPTIVE_SPAN_CAP if spread is not None else _SPAN_CAP
+    chunks = _warp_chunks(orders, md, spread, cap)
+
+    def launch(**kw):
+        outs = warp_pallas(inp, grid, tuple(orders), tuple(bounds),
                            extrapolate, md, value=value, grad=grad,
-                           spread=spread)
-    zeros = jnp.zeros(grid.shape[:-1] + (1,), grid.dtype)
-    grid3 = jnp.concatenate([zeros, grid], axis=-1)[None]
-    sp3 = None if spread is None else (0.0,) + _md_tuple(spread, D)
-    val, g = warp_pallas(inp[:, None], grid3, (0,) + tuple(orders),
-                         (1,) + tuple(bounds), extrapolate, (0.0,) + md,
-                         value=value, grad=grad, spread=sp3,
-                         tile=(1, 8, 128))
-    if val is not None:
-        val = val[:, 0]
-    if g is not None:
-        g = g[:, 0, ..., 1:]
-    return val, g
+                           hess=hess, spread=spread, tile=tile, **kw)
+        return outs if hess else outs + (None,)
+
+    if chunks is not None:
+        acc = None
+        for geo, sub, d0r in chunks:
+            o = launch(ranges_override=geo, active=sub, d0_ranges=d0r)
+            acc = o if acc is None else tuple(
+                a if b is None else a + b for a, b in zip(o, acc))
+        val, g, h = acc
+    else:
+        val, g, h = launch()
+    if nd:
+        if val is not None:
+            val = val.reshape((val.shape[0],) + val.shape[1 + nd:])
+        if g is not None:
+            g = g.reshape((g.shape[0],) + g.shape[1 + nd:])[..., nd:]
+        if h is not None:
+            h = h.reshape((h.shape[0],) + h.shape[1 + nd:])[..., nd:,
+                                                            nd:]
+    return val, g, h
+
+
+def _pallas_push(inp, grid, orders, bounds, extrapolate, max_disp,
+                 spread=None, deriv=False):
+    """Dispatch into the 3-D Pallas splat kernel (plain push, or the
+    pushgrad adjoint when ``deriv``); 1-D/2-D lifted like the pull."""
+    from .pallas_warp import push_window_pallas
+    D = grid.shape[-1]
+    md = _md_tuple(max_disp, D)
+    tile = None
+    nd = 0
+    if D < 3:
+        (inp, grid, orders, bounds, md, spread, tile,
+         nd) = _lift3(inp, grid, orders, bounds, max_disp, spread,
+                      deriv=deriv)
+    if deriv:
+        cap = _PUSHGRAD_ADAPTIVE_SPAN_CAP if spread is not None \
+            else _PUSHGRAD_SPAN_CAP
+    else:
+        cap = _ADAPTIVE_SPAN_CAP if spread is not None \
+            else _PUSH_SPAN_CAP
+    chunks = _warp_chunks(orders, md, spread, cap)
+
+    def launch(**kw):
+        return push_window_pallas(inp, grid, tuple(orders),
+                                  tuple(bounds), extrapolate, md,
+                                  spread=spread, deriv=deriv, tile=tile,
+                                  **kw)
+
+    if chunks is not None:
+        out = None
+        for geo, sub, d0r in chunks:
+            o3 = launch(ranges_override=geo, active=sub, d0_ranges=d0r)
+            out = o3 if out is None else out + o3
+    else:
+        out = launch()
+    if nd:
+        out = out.reshape((out.shape[0],) + out.shape[1 + nd:])
+    return out
 
 
 def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp,
@@ -325,8 +407,8 @@ def _pull_impl(inp, grid, orders, bounds, extrapolate, max_disp,
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape):
-        val, _ = _pallas_warp(inp, grid, orders, bounds, extrapolate,
-                              max_disp, True, False, spread)
+        val, _, _ = _pallas_warp(inp, grid, orders, bounds, extrapolate,
+                                 max_disp, True, False, spread)
         return val
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -349,8 +431,8 @@ def _grad_impl(inp, grid, orders, bounds, extrapolate, max_disp,
         # fused kernel: all derivative fields from one pass over the
         # shift window (the boundary-folded pad already carries the
         # signs, so it serves gradients too)
-        _, g = _pallas_warp(inp, grid, orders, bounds, extrapolate,
-                            max_disp, False, True, spread)
+        _, g, _ = _pallas_warp(inp, grid, orders, bounds, extrapolate,
+                               max_disp, False, True, spread)
         return g
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -384,36 +466,8 @@ def _push_impl(inp, grid, orders, bounds, extrapolate, max_disp,
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
     if _should_pallas(ishape):
-        from .pallas_warp import push_window_pallas
-        md = _md_tuple(max_disp, D)
-        if D == 3:
-            if spread is not None:
-                sp = _md_tuple(spread, D)
-                res = tuple(window_range(o, s)
-                            for o, s in zip(orders, sp))
-                chunks = _chunk_ranges(res, orders, _ADAPTIVE_SPAN_CAP)
-            else:
-                chunks = _chunk_calls(orders, md, _PUSH_SPAN_CAP)
-            if chunks is not None:
-                out = None
-                for geo, sub, d0r in chunks:
-                    o3 = push_window_pallas(
-                        inp, grid, tuple(orders), tuple(bounds),
-                        extrapolate, md, ranges_override=geo,
-                        active=sub, d0_ranges=d0r, spread=spread)
-                    out = o3 if out is None else out + o3
-                return out
-            return push_window_pallas(inp, grid, tuple(orders),
-                                      tuple(bounds), extrapolate, md,
-                                      spread=spread)
-        if D == 2:
-            zeros = jnp.zeros(grid.shape[:-1] + (1,), grid.dtype)
-            grid3 = jnp.concatenate([zeros, grid], axis=-1)[None]
-            out = push_window_pallas(
-                inp[:, None], grid3, (0,) + tuple(orders),
-                (1,) + tuple(bounds), extrapolate, (0.0,) + md,
-                tile=(1, 8, 128))
-            return out[:, 0]
+        return _pallas_push(inp, grid, orders, bounds, extrapolate,
+                            max_disp, spread)
     C = inp.shape[0]
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
@@ -465,19 +519,47 @@ def _fold_pad_margins(acc, ishape, bounds, lo, hi, wdtype):
 
 # --------------------------------------- second-order windowed primitives
 # These serve grad_window's backward (mirroring ops/pushpull.py's
-# pushgrad/hess, reference interpol/pushpull.py:176-233, 303-325) and are
-# plain jnp shifted-FMA programs: JAX differentiates their slices and
-# static scatter-adds natively, so third- and higher-order derivatives
-# through the windowed tier remain exact on every backend.
+# pushgrad/hess, reference interpol/pushpull.py:176-233, 303-325).  Both
+# carry custom VJPs and dispatch to native Pallas kernels on the fast
+# backend (warp_pallas hess mode / push_window_pallas deriv mode) — the
+# production-scale path for Jacobian/bending-energy regularizers, whose
+# training backward evaluates these forwards at full volume.  The XLA
+# shifted-FMA formulations remain the correctness tier; at large volumes
+# they stream x-slabs (rematerialized blocks) so coefficient-field
+# memory stays bounded instead of scaling with S * volume.
 
-def pushgrad_window(inp, grid, orders, bounds, extrapolate, max_disp):
-    """Adjoint of :func:`grad_window`: splat per-axis cotangents through
-    the derivative coefficient fields.
+# x-slab size for the streamed XLA window formulations: each slab's
+# coefficient fields are ~(3 axes * S shifts * slab) floats; 2M voxels
+# keeps that under ~1 GB for any cap-sized window.
+_XLA_SLAB_VOX = 1 << 21
 
-    inp: (C, *ishape, D) cotangents of the spatial gradient at grid
-    sites -> (C, *ishape) volume.  Reference contract:
-    interpol/pushpull.py:176-203 (grid_pushgrad).
-    """
+
+def _x_slabs(ishape):
+    """Leading-axis slab spans for the streamed XLA formulation, or
+    None when the volume is small enough for one shot."""
+    numel = math.prod(ishape)
+    if len(ishape) < 2 or numel <= 2 * _XLA_SLAB_VOX:
+        return None
+    rest = numel // ishape[0]
+    bx = max(1, _XLA_SLAB_VOX // max(1, rest))
+    if bx >= ishape[0]:
+        return None
+    return [(x, min(x + bx, ishape[0])) for x in range(0, ishape[0], bx)]
+
+
+def _shift_grid_x(grid_b, x0):
+    """Shift the leading-axis coordinate into slab-local frame (integer
+    shift: tap weights are translation-invariant, and _coef_fields'
+    voxel iota is slab-local)."""
+    if x0 == 0:
+        return grid_b
+    return jnp.concatenate([grid_b[..., :1] - x0, grid_b[..., 1:]], -1)
+
+
+def _pushgrad_xla(inp, grid, orders, bounds, extrapolate, max_disp):
+    """XLA shifted-FMA pushgrad (adjoint of grad_window): splat per-axis
+    cotangents through the derivative coefficient fields.  Reference
+    contract: interpol/pushpull.py:176-203 (grid_pushgrad)."""
     D = grid.shape[-1]
     ishape = tuple(grid.shape[:-1])
     C = inp.shape[0]
@@ -487,53 +569,182 @@ def pushgrad_window(inp, grid, orders, bounds, extrapolate, max_disp):
     vals = inp.astype(wdtype)
     if mask is not None:
         vals = vals * mask.reshape((1,) + ishape + (1,))
-    pshape = tuple(n + l + h for n, l, h in zip(ishape, lo, hi))
-    acc = jnp.zeros((C,) + pshape, wdtype)
-    for da in range(D):
-        ranges, coefs = _coef_fields(grid, ishape, orders, max_disp,
-                                     wdtype, deriv_axes=(da,))
-        spans = [range(r[1] - r[0] + 1) for r in ranges]
-        for ks in itertools.product(*spans):
-            w = None
-            for d, k in enumerate(ks):
-                cd = coefs[d][k]
-                w = cd if w is None else w * cd
-            idx = [slice(None)]
-            for d in range(D):
-                start = lo[d] + ranges[d][0] + ks[d]
-                idx.append(slice(start, start + ishape[d]))
-            acc = acc.at[tuple(idx)].add(vals[..., da] * w[None])
+
+    def slab(vals_b, grid_b):
+        bshape = tuple(grid_b.shape[:-1])
+        pshape = tuple(n + l + h for n, l, h in zip(bshape, lo, hi))
+        acc = jnp.zeros((C,) + pshape, wdtype)
+        for da in range(D):
+            ranges, coefs = _coef_fields(grid_b, bshape, orders,
+                                         max_disp, wdtype,
+                                         deriv_axes=(da,))
+            spans = [range(r[1] - r[0] + 1) for r in ranges]
+            for ks in itertools.product(*spans):
+                w = None
+                for d, k in enumerate(ks):
+                    cd = coefs[d][k]
+                    w = cd if w is None else w * cd
+                idx = [slice(None)]
+                for d in range(D):
+                    start = lo[d] + ranges[d][0] + ks[d]
+                    idx.append(slice(start, start + bshape[d]))
+                acc = acc.at[tuple(idx)].add(vals_b[..., da] * w[None])
+        return acc
+
+    slabs = _x_slabs(ishape)
+    if slabs is None:
+        acc = slab(vals, grid)
+    else:
+        pshape = tuple(n + l + h for n, l, h in zip(ishape, lo, hi))
+        acc = jnp.zeros((C,) + pshape, wdtype)
+        for x0, x1 in slabs:
+            accb = jax.checkpoint(slab)(vals[:, x0:x1],
+                                        _shift_grid_x(grid[x0:x1], x0))
+            acc = acc.at[:, x0:x0 + accb.shape[1]].add(accb)
     return _fold_pad_margins(acc, ishape, bounds, lo, hi, wdtype)
 
 
-def hess_window(inp, grid, orders, bounds, extrapolate, max_disp):
-    """Spatial Hessian of the spline surface on the dense grid.
-
-    inp: (C, *ishape) -> (C, *ishape, D, D), symmetric in the last two
-    axes (serves grad_window's grid-VJP; reference contract:
-    interpol/pushpull.py:206-233 via grid_hess / nd.py:367-464).
-    """
+def _hess_xla(inp, grid, orders, bounds, extrapolate, max_disp):
+    """XLA shifted-FMA spatial Hessian of the spline surface.
+    Reference contract: interpol/pushpull.py:206-233 via grid_hess /
+    nd.py:367-464."""
     D = grid.shape[-1]
     ishape = tuple(inp.shape[-D:])
     wdtype = jnp.result_type(inp.dtype, grid.dtype)
     lo, hi = _window_geom(orders, max_disp, D)
     vpad = _pad_folded(inp.astype(wdtype), ishape, bounds, lo, hi, wdtype)
-    uniq = {}
-    for d in range(D):
-        for d2 in range(d, D):
-            kw = dict(deriv2_axis=d) if d == d2 \
-                else dict(deriv_axes=(d, d2))
-            ranges, coefs = _coef_fields(grid, ishape, orders, max_disp,
-                                         wdtype, **kw)
-            uniq[(d, d2)] = _accumulate(vpad, ranges, coefs, lo, ishape,
-                                        lambda view, w: view * w[None])
-    rows = [jnp.stack([uniq[(min(d, d2), max(d, d2))] for d2 in range(D)],
-                      axis=-1) for d in range(D)]
-    out = jnp.stack(rows, axis=-2)
+
+    def slab(vpad_b, grid_b):
+        bshape = tuple(grid_b.shape[:-1])
+        uniq = {}
+        for d in range(D):
+            for d2 in range(d, D):
+                kw = dict(deriv2_axis=d) if d == d2 \
+                    else dict(deriv_axes=(d, d2))
+                ranges, coefs = _coef_fields(grid_b, bshape, orders,
+                                             max_disp, wdtype, **kw)
+                uniq[(d, d2)] = _accumulate(
+                    vpad_b, ranges, coefs, lo, bshape,
+                    lambda view, w: view * w[None])
+        rows = [jnp.stack([uniq[(min(d, d2), max(d, d2))]
+                           for d2 in range(D)], axis=-1)
+                for d in range(D)]
+        return jnp.stack(rows, axis=-2)
+
+    slabs = _x_slabs(ishape)
+    if slabs is None:
+        out = slab(vpad, grid)
+    else:
+        ax = vpad.ndim - D
+        parts = []
+        for x0, x1 in slabs:
+            sl = [slice(None)] * vpad.ndim
+            sl[ax] = slice(x0, x1 + lo[0] + hi[0])
+            parts.append(jax.checkpoint(slab)(
+                vpad[tuple(sl)], _shift_grid_x(grid[x0:x1], x0)))
+        out = jnp.concatenate(parts, axis=ax)
     mask = inbounds_mask(grid.reshape(-1, D), ishape, extrapolate, wdtype)
     if mask is not None:
         out = out * mask.reshape((1,) + ishape + (1, 1))
     return out
+
+
+def _pushgrad_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+                   spread=None):
+    ishape = tuple(grid.shape[:-1])
+    if _should_pallas(ishape):
+        return _pallas_push(inp, grid, orders, bounds, extrapolate,
+                            max_disp, spread, deriv=True)
+    return _pushgrad_xla(inp, grid, orders, bounds, extrapolate,
+                         max_disp)
+
+
+def _hess_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+               spread=None):
+    D = grid.shape[-1]
+    ishape = tuple(inp.shape[-D:])
+    if _should_pallas(ishape):
+        _, _, h = _pallas_warp(inp, grid, orders, bounds, extrapolate,
+                               max_disp, False, False, spread,
+                               hess=True)
+        return h
+    return _hess_xla(inp, grid, orders, bounds, extrapolate, max_disp)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def pushgrad_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                    spread=None):
+    """Adjoint of :func:`grad_window`: splat per-axis cotangents through
+    the derivative coefficient fields.
+
+    inp: (C, *ishape, D) cotangents of the spatial gradient at grid
+    sites -> (C, *ishape) volume.  Reference contract:
+    interpol/pushpull.py:176-203 (grid_pushgrad).  ``spread``: adaptive
+    per-tile splat windows on the Pallas tier (same residual-window
+    semantics as push_window).
+    """
+    return _pushgrad_impl(inp, grid, orders, bounds, extrapolate,
+                          max_disp, spread)
+
+
+def _pushgradw_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
+                   spread=None):
+    return pushgrad_window(inp, grid, orders, bounds, extrapolate,
+                           max_disp, spread), (inp, grid)
+
+
+def _pushgradw_bwd(orders, bounds, extrapolate, max_disp, spread, res,
+                   ct):
+    inp, grid = res
+    # pushgrad <-> grad are mutual adjoints (pull <-> push one
+    # derivative up), and the grid cotangent composes the Hessian
+    # fields pulled from ct against the splatted values — the same
+    # structure as push's backward with every op one order higher.
+    d_inp = grad_window(ct, grid, orders, bounds, extrapolate, max_disp,
+                        spread)
+    h = hess_window(ct, grid, orders, bounds, extrapolate, max_disp,
+                    spread)
+    d_grid = (h * inp[..., None]).sum(axis=(0, -2))
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype))
+
+
+pushgrad_window.defvjp(_pushgradw_fwd, _pushgradw_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def hess_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                spread=None):
+    """Spatial Hessian of the spline surface on the dense grid.
+
+    inp: (C, *ishape) -> (C, *ishape, D, D), symmetric in the last two
+    axes (serves grad_window's grid-VJP; reference contract:
+    interpol/pushpull.py:206-233 via grid_hess / nd.py:367-464).
+    ``spread``: adaptive per-tile windows on the Pallas tier.
+    """
+    return _hess_impl(inp, grid, orders, bounds, extrapolate, max_disp,
+                      spread)
+
+
+def _hessw_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
+               spread=None):
+    return hess_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                       spread), (inp, grid)
+
+
+def _hessw_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
+    # Third-order territory (beyond the reference, whose pushgrad/hess
+    # have no backward of their own): differentiate the exact XLA
+    # formulation.  The slab streaming + per-slab rematerialization in
+    # _hess_xla bounds the linearization's memory at large volumes.
+    inp, grid = res
+    out, vjp = jax.vjp(
+        lambda i, g: _hess_xla(i, g, orders, bounds, extrapolate,
+                               max_disp), inp, grid)
+    d_inp, d_grid = vjp(ct.astype(out.dtype))
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype))
+
+
+hess_window.defvjp(_hessw_fwd, _hessw_bwd)
 
 
 # ------------------------------------------------------------ VJP wiring
@@ -620,11 +831,14 @@ def _gradw_fwd(inp, grid, orders, bounds, extrapolate, max_disp,
 
 def _gradw_bwd(orders, bounds, extrapolate, max_disp, spread, res, ct):
     inp, grid = res
-    # full-window adjoints: exact for contract-honoring grids (the
-    # documented adaptive semantics, same policy as _pull_bwd)
+    # spread-aware adjoints: adaptive-window training that
+    # differentiates through grid_grad pays the residual window in the
+    # backward too (exact for contract-honoring grids — the documented
+    # adaptive semantics, same policy as _pull_bwd)
     d_inp = pushgrad_window(ct, grid, orders, bounds, extrapolate,
-                            max_disp)
-    h = hess_window(inp, grid, orders, bounds, extrapolate, max_disp)
+                            max_disp, spread)
+    h = hess_window(inp, grid, orders, bounds, extrapolate, max_disp,
+                    spread)
     d_grid = (h * ct[..., None]).sum(axis=(0, -2))
     return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype))
 

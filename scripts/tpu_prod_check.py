@@ -156,6 +156,111 @@ def splat_smoke(N=64, P=20000):
           f"hess={e3:.2e}, grad-of-grad OK", flush=True)
 
 
+def second_order_parity(N=32):
+    """Round-5: compiled Pallas hess/pushgrad parity vs the exact XLA
+    formulations (small N — the one-shot XLA formulation OOMs at 256^3,
+    doctrine #3), including span-cap and chunked-span launches.  The
+    md values place the window span at/under/above the VMEM caps
+    (_HESS_SPAN_CAP=12, _PUSHGRAD_SPAN_CAP=14): a cap misdeclared
+    against scoped VMEM fails the compile here."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    ident = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"),
+                     -1).astype(np.float32)
+    vol = jnp.asarray(rng.standard_normal((2, N, N, N)).astype(np.float32))
+    for order, md in [(3, 2.0), (3, 4.0), (3, 5.0), (5, 5.0)]:
+        smin, smax = wd.window_range(order, md)
+        S = smax - smin + 1
+        o, b = (order,) * 3, (3,) * 3
+        grid = jnp.asarray(ident + rng.uniform(-md, md, ident.shape)
+                           .astype(np.float32))
+        ct = jnp.asarray(rng.standard_normal(vol.shape + (3,))
+                         .astype(np.float32))
+        t0 = time.time()
+        with backend.use_backend("pallas"):
+            outh = jax.jit(lambda v, g: wd._hess_impl(
+                v, g, o, b, 1, md))(vol, grid)
+            outp = jax.jit(lambda c, g: wd._pushgrad_impl(
+                c, g, o, b, 1, md))(ct, grid)
+            sync(outh); sync(outp)
+        if S >= 13:
+            # the one-shot XLA formulation's S^3-unrolled program
+            # SIGSEGVs the remote compile helper at these spans (and
+            # interpret-on-chip hits the same wall): compute the exact
+            # XLA reference on the HOST CPU backend instead — same
+            # program, local compile, tiny at N=32
+            with jax.default_device(jax.devices("cpu")[0]):
+                refh = jax.jit(lambda v, g: wd._hess_xla(
+                    v, g, o, b, 1, md))(jax.device_put(
+                        vol, jax.devices("cpu")[0]), jax.device_put(
+                        grid, jax.devices("cpu")[0]))
+                refp = jax.jit(lambda c, g: wd._pushgrad_xla(
+                    c, g, o, b, 1, md))(jax.device_put(
+                        ct, jax.devices("cpu")[0]), jax.device_put(
+                        grid, jax.devices("cpu")[0]))
+            refh = np.asarray(refh)
+            refp = np.asarray(refp)
+        else:
+            refh = jax.jit(lambda v, g: wd._hess_xla(
+                v, g, o, b, 1, md))(vol, grid)
+            refp = jax.jit(lambda c, g: wd._pushgrad_xla(
+                c, g, o, b, 1, md))(ct, grid)
+        eh = float(jnp.abs(outh - refh).max() / jnp.abs(refh).max())
+        ep = float(jnp.abs(outp - refp).max() / jnp.abs(refp).max())
+        print(f"second-order o={order} md={md} S={S}: "
+              f"compiled ({time.time() - t0:.0f}s), hess={eh:.2e} "
+              f"pushgrad={ep:.2e}", flush=True)
+
+
+def second_order_prod(N=256, max_disp=2.0):
+    """Round-4 verdict item #1 'done' criterion: on-chip at 256^3 cubic
+    max_disp=2, jax.grad of a jacobian_det-regularized warp loss and
+    one HVP step run without OOM (the training backward evaluates
+    pushgrad_window/hess_window at full volume on the native tier)."""
+    from interpol_tpu.ops import flow
+
+    rng = np.random.default_rng(13)
+    fix = jnp.asarray(rng.standard_normal((1, N, N, N)).astype(np.float32))
+    mov = jnp.asarray(rng.standard_normal((1, N, N, N)).astype(np.float32))
+    u = jnp.asarray((rng.uniform(-1, 1, (N, N, N, 3)) * max_disp * 0.9)
+                    .astype(np.float32))
+
+    def loss(u):
+        # identity grid built IN-TRACE (iota): a closure-captured
+        # constant would embed 200 MB into the program and blow the
+        # remote-compile body limit (observed: HTTP 413)
+        ident = jnp.stack(jnp.meshgrid(
+            *[jnp.arange(N, dtype=u.dtype)] * 3, indexing="ij"), -1)
+        pulled = wd.pull_window(mov, ident + u, (3,) * 3, (3,) * 3, 1,
+                                max_disp)
+        det = flow.jacobian_det(u, interpolation="cubic", bound="dct2")
+        return (((pulled - fix) ** 2).mean()
+                + 0.1 * ((det - 1.0) ** 2).mean())
+
+    with backend.use_backend("pallas"):
+        t0 = time.time()
+        g = jax.jit(jax.grad(loss))(u)
+        sync(g)
+        t1 = time.time()
+        print(f"N={N}: grad(jacdet-regularized warp loss) OK "
+              f"(compile+run {t1 - t0:.0f}s, "
+              f"|g|_max={float(jnp.abs(g).max()):.3e})", flush=True)
+        # steady-state step time (one repeat; slope harness not needed
+        # for an OOM/capability check)
+        t0 = time.time()
+        g = jax.jit(jax.grad(loss))(u + 1e-6)
+        sync(g)
+        print(f"N={N}: grad step {time.time() - t0:.2f}s", flush=True)
+        tang = jnp.ones_like(u) * 1e-3
+        t0 = time.time()
+        hvp = jax.jit(lambda x, t: jax.grad(
+            lambda y: jnp.vdot(jax.grad(loss)(y), t))(x))(u, tang)
+        sync(hvp)
+        print(f"N={N}: HVP OK (compile+run {time.time() - t0:.0f}s, "
+              f"|hvp|_max={float(jnp.abs(hvp).max()):.3e})", flush=True)
+
+
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     ops = sys.argv[2:] or ["parity", "pull", "grad", "push", "coeff"]
@@ -168,6 +273,10 @@ def main():
         scattered_smoke()
     if "splat" in ops:
         splat_smoke()
+    if "second_order" in ops:
+        second_order_parity()
+    if "second_order_prod" in ops:
+        second_order_prod(N)
 
     if "parity" in ops:
         parity()
