@@ -48,15 +48,15 @@ def _scattered_ok(D: int, P: int) -> bool:
     warrant it.
 
     The documented density/size threshold for the ``auto`` backend:
-    2-D or 3-D (2-D clouds ride the 3-D kernels via scattered._lift_2d's
-    zero-cost degenerate axis), at least ``scattered.MIN_POINTS`` sample
-    points (below that the tier's fixed sort + box-table costs exceed
-    the XLA gather), on a real TPU.  ``pallas`` forces the tier (any P);
-    ``xla`` never uses it."""
+    1-D, 2-D or 3-D (lower-dim clouds ride the 3-D kernels via
+    scattered._lift_2d's zero-cost degenerate axes), at least
+    ``scattered.MIN_POINTS`` sample points (below that the tier's fixed
+    sort + box-table costs exceed the XLA gather), on a real TPU.
+    ``pallas`` forces the tier (any P); ``xla`` never uses it."""
     from .. import backend as _backend
 
     be = _backend.get_backend()
-    if be == "xla" or D not in (2, 3):
+    if be == "xla" or D not in (1, 2, 3):
         return False
     if be == "pallas":
         return True

@@ -126,10 +126,13 @@ _BOX_LADDER = [(16, 16, 32), (16, 16, 16), (8, 16, 16), (8, 8, 16),
 _TARGET_PER_BOX = 80.0
 
 
-# 2-D clouds ride the 3-D kernels via a degenerate trailing axis (see
-# _lift_2d); their box cores are picked from a 2-D ladder.
+# 1-D / 2-D clouds ride the 3-D kernels via degenerate trailing axes
+# (see _lift_2d, applied once or twice); their box cores are picked
+# from lower-dimensional ladders.
 _BOX_LADDER_2D = [(64, 128), (64, 64), (32, 64), (32, 32), (16, 32),
                   (16, 16), (8, 16), (8, 8)]
+_BOX_LADDER_1D = [(8192,), (4096,), (2048,), (1024,), (512,), (256,),
+                  (128,), (64,)]
 
 
 def auto_box(ishape: Tuple[int, ...], P: int) -> Tuple[int, ...]:
@@ -137,11 +140,12 @@ def auto_box(ishape: Tuple[int, ...], P: int) -> Tuple[int, ...]:
     ~_TARGET_PER_BOX at this cloud's density (dense grids land on tiny
     cores where TAB — and with it the per-tap gather-cascade cost — is
     smallest)."""
-    if len(ishape) >= 3 and ishape[-1] == 1:
-        # degenerate trailing axis (the 2-D lift): box it with core 1
+    if len(ishape) >= 2 and ishape[-1] == 1:
+        # degenerate trailing axis (the 1-D/2-D lift): core 1
         return auto_box(ishape[:-1], P) + (1,)
     rho = P / max(1, math.prod(ishape))
-    ladder = _BOX_LADDER if len(ishape) >= 3 else _BOX_LADDER_2D
+    ladder = {1: _BOX_LADDER_1D, 2: _BOX_LADDER_2D}.get(
+        len(ishape), _BOX_LADDER)
     for b in ladder:
         if rho * math.prod(b) <= _TARGET_PER_BOX:
             return b
@@ -152,10 +156,12 @@ def auto_box_splat(oshape: Tuple[int, ...], P: int) -> Tuple[int, ...]:
     extent stays at one 128-lane row — the kernel's dominant cost (the
     BT one-hot build) is linear in that extent, while the x extent only
     widens the cheap A build and the MXU matmul's sublane count."""
-    if len(oshape) >= 3 and oshape[-1] == 1:
-        # degenerate trailing axis (the 2-D lift)
+    if len(oshape) >= 2 and oshape[-1] == 1:
+        # degenerate trailing axis (the 1-D/2-D lift)
         return auto_box_splat(oshape[:-1], P) + (1,)
     vol = math.prod(auto_box(oshape, P))
+    if len(oshape) == 1:
+        return (min(max(1, vol), int(oshape[0])),)
     if len(oshape) == 2:
         by = min(8, vol)
         return (min(max(1, vol // by), int(oshape[0])), by)
@@ -348,7 +354,11 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, zin_ref,
     re-launches the same kernel with roff=CAP to serve ranks
     CAP..2*CAP-1 of boxes that overflowed their 128 slots, so clustered
     clouds degrade to ONE extra kernel pass (under a host-side cond)
-    instead of an XLA gather-core fallback storm."""
+    instead of an XLA gather-core fallback storm.  Within that round,
+    a PER-BLOCK predicate (round 5) skips every block whose 8 boxes all
+    fit their slots, so the second pass costs only the overflowing
+    blocks — which is what lets the box ladder target a higher
+    occupancy than the global-cond regime allowed."""
     n_out = (1 if value else 0) + (3 if grad else 0) \
         + (6 if hess else 0)
     rpad = _rows_pad(n_out)
@@ -356,140 +366,155 @@ def _gather_kernel(tab_ref, cx_hbm, cy_hbm, cz_hbm, seg_ref, zin_ref,
     sems, semo = bufs[4:7], bufs[7]
     c = pl.program_id(0)
     k = pl.program_id(1)
-    tab = tab_ref[0]                      # (8, TAB)
-    shape = (8, 128)
-    TOT = _SLK * 128
 
-    s0 = seg_ref[8 * k] + roff
-    a0 = (s0 // 128) * 128
-    cps = []
-    for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
-        cp = pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(a0, 128), TOT)], s, sems[i])
-        cps.append(cp)
-        cp.start()
-    # RMW fetch of this block's output window (previous blocks' writes
-    # to the overlap are complete: sequential grid + in-body waits)
-    cpo = pltpu.make_async_copy(
-        out_hbm.at[pl.ds(c, 1), :, pl.ds(pl.multiple_of(a0, 128), TOT)],
-        sout, semo)
-    cpo.start()
+    def body():
+        tab = tab_ref[0]                      # (8, TAB)
+        shape = (8, 128)
+        TOT = _SLK * 128
 
-    # box ids of the 8 rows -> per-axis core origins (sublane column)
-    b = k * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    cz = b % nb[2]
-    cy = (b // nb[2]) % nb[1]
-    cx = b // (nb[1] * nb[2])
-    base0 = [cx * box[0], cy * box[1], cz * box[2]]
+        s0 = seg_ref[8 * k] + roff
+        a0 = (s0 // 128) * 128
+        cps = []
+        for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
+            cp = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(pl.multiple_of(a0, 128), TOT)], s, sems[i])
+            cps.append(cp)
+            cp.start()
+        # RMW fetch of this block's output window (previous blocks' writes
+        # to the overlap are complete: sequential grid + in-body waits)
+        cpo = pltpu.make_async_copy(
+            out_hbm.at[pl.ds(c, 1), :, pl.ds(pl.multiple_of(a0, 128), TOT)],
+            sout, semo)
+        cpo.start()
 
-    for cp in cps:
-        cp.wait()
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    rows = [[], [], []]
-    cnts = []
-    offs = []
-    for r in range(8):
-        sr = seg_ref[8 * k + r] + roff
-        # per-ROW window check (round 4; was per-block): row r is
-        # served only when its slot window fits the DMA window — the
-        # host-side scan reproduces this predicate point-wise.
-        ok = ((sr - a0) + CAP <= TOT).astype(jnp.int32)
-        # negative counts (round-2 rows of non-overflowing boxes) give
-        # an all-false valid mask via lane < cnt; no clamp needed
-        cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
-        cnts.append(cnt)
-        off = jnp.clip(sr - a0, 0, TOT - 128)
-        offs.append(off)
+        # box ids of the 8 rows -> per-axis core origins (sublane column)
+        b = k * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        cz = b % nb[2]
+        cy = (b // nb[2]) % nb[1]
+        cx = b // (nb[1] * nb[2])
+        base0 = [cx * box[0], cy * box[1], cz * box[2]]
+
+        for cp in cps:
+            cp.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        rows = [[], [], []]
+        cnts = []
+        offs = []
+        for r in range(8):
+            sr = seg_ref[8 * k + r] + roff
+            # per-ROW window check (round 4; was per-block): row r is
+            # served only when its slot window fits the DMA window — the
+            # host-side scan reproduces this predicate point-wise.
+            ok = ((sr - a0) + CAP <= TOT).astype(jnp.int32)
+            # negative counts (round-2 rows of non-overflowing boxes) give
+            # an all-false valid mask via lane < cnt; no clamp needed
+            cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
+            cnts.append(cnt)
+            off = jnp.clip(sr - a0, 0, TOT - 128)
+            offs.append(off)
+            for d in range(3):
+                flat = scr[d][...]
+                rows[d].append(pltpu.roll(flat, TOT - off, 1)[:, :128])
+        gs = [jnp.concatenate(rows[d], axis=0) for d in range(3)]
+        valid_b = lane < jnp.concatenate(
+            [jnp.full((1, 1), c, jnp.int32) for c in cnts], axis=0)
+        wdtype = gs[0].dtype
+        taps_w, taps_g, taps_h, locs = [], [], [], []
         for d in range(3):
-            flat = scr[d][...]
-            rows[d].append(pltpu.roll(flat, TOT - off, 1)[:, :128])
-    gs = [jnp.concatenate(rows[d], axis=0) for d in range(3)]
-    valid_b = lane < jnp.concatenate(
-        [jnp.full((1, 1), c, jnp.int32) for c in cnts], axis=0)
-    wdtype = gs[0].dtype
-    taps_w, taps_g, taps_h, locs = [], [], [], []
-    for d in range(3):
-        n0, t = node_origin(gs[d], orders[d])
-        w, gr, hs = bspline_taps(t, orders[d], grad=grad or hess,
-                                 hess=hess)
-        taps_w.append(w)
-        taps_g.append(gr)
-        taps_h.append(hs)
-        # local tap-0 coordinate inside the padded box
-        locs.append(n0 - (base0[d] - blo[d]))
+            n0, t = node_origin(gs[d], orders[d])
+            w, gr, hs = bspline_taps(t, orders[d], grad=grad or hess,
+                                     hess=hess)
+            taps_w.append(w)
+            taps_g.append(gr)
+            taps_h.append(hs)
+            # local tap-0 coordinate inside the padded box
+            locs.append(n0 - (base0[d] - blo[d]))
 
-    base = (locs[0] * ext[1] + locs[1]) * ext[2] + locs[2]
-    # invalid slots carry garbage coords: clamp the gather index into
-    # range (their contribution is zeroed by the valid mask)
-    span = (orders[0] * ext[1] + orders[1]) * ext[2] + orders[2]
-    base = jnp.clip(base, 0, tab.shape[-1] - 1 - span)
+        base = (locs[0] * ext[1] + locs[1]) * ext[2] + locs[2]
+        # invalid slots carry garbage coords: clamp the gather index into
+        # range (their contribution is zeroed by the valid mask)
+        span = (orders[0] * ext[1] + orders[1]) * ext[2] + orders[2]
+        base = jnp.clip(base, 0, tab.shape[-1] - 1 - span)
 
-    valid = valid_b.astype(wdtype)
-    acc_v = jnp.zeros(shape, wdtype) if value else None
-    acc_d = [jnp.zeros(shape, wdtype) for _ in range(3)] if grad else None
-    acc_h = [jnp.zeros(shape, wdtype) for _ in range(6)] if hess else None
-    for jx in range(orders[0] + 1):
-        for jy in range(orders[1] + 1):
-            wxy = taps_w[0][jx] * taps_w[1][jy]
-            if grad or hess:
-                gxy = taps_g[0][jx] * taps_w[1][jy]      # gx*wy
-                hxy = taps_w[0][jx] * taps_g[1][jy]      # wx*gy
-            if hess:
-                a_xx = taps_h[0][jx] * taps_w[1][jy]     # hx*wy
-                a_yy = taps_w[0][jx] * taps_h[1][jy]     # wx*hy
-                a_xy = taps_g[0][jx] * taps_g[1][jy]     # gx*gy
-            off = (jx * ext[1] + jy) * ext[2]
-            for jz in range(orders[2] + 1):
-                idx = base + (off + jz)
-                val = _gather_rows(tab, idx)
-                if value:
-                    acc_v = acc_v + (wxy * taps_w[2][jz]) * val
-                if grad:
-                    acc_d[0] = acc_d[0] + (gxy * taps_w[2][jz]) * val
-                    acc_d[1] = acc_d[1] + (hxy * taps_w[2][jz]) * val
-                    acc_d[2] = acc_d[2] + (wxy * taps_g[2][jz]) * val
+        valid = valid_b.astype(wdtype)
+        acc_v = jnp.zeros(shape, wdtype) if value else None
+        acc_d = [jnp.zeros(shape, wdtype) for _ in range(3)] if grad else None
+        acc_h = [jnp.zeros(shape, wdtype) for _ in range(6)] if hess else None
+        for jx in range(orders[0] + 1):
+            for jy in range(orders[1] + 1):
+                wxy = taps_w[0][jx] * taps_w[1][jy]
+                if grad or hess:
+                    gxy = taps_g[0][jx] * taps_w[1][jy]      # gx*wy
+                    hxy = taps_w[0][jx] * taps_g[1][jy]      # wx*gy
                 if hess:
-                    acc_h[0] = acc_h[0] + (a_xx * taps_w[2][jz]) * val
-                    acc_h[1] = acc_h[1] + (a_yy * taps_w[2][jz]) * val
-                    acc_h[2] = acc_h[2] + (wxy * taps_h[2][jz]) * val
-                    acc_h[3] = acc_h[3] + (a_xy * taps_w[2][jz]) * val
-                    acc_h[4] = acc_h[4] + (gxy * taps_g[2][jz]) * val
-                    acc_h[5] = acc_h[5] + (hxy * taps_g[2][jz]) * val
-    outs = []
-    if value:
-        outs.append(acc_v * valid)
-    if grad:
-        outs.extend(a * valid for a in acc_d)
-    if hess:
-        outs.extend(a * valid for a in acc_h)
-    # merge into the sorted stream: row r's planes, stacked on
-    # sublanes, rolled to lane offset seg[8k+r] - a0 and accumulated
-    # into the RMW'd window (disjoint segment ranges per row; lanes
-    # beyond cnt are zero, so overlapping 128-windows add zeros)
-    cpo.wait()
-    sv = sout[0]                          # (rows_pad, TOT)
-    zlane = jnp.zeros((rpad, TOT - 128), wdtype)
-    zrow = jnp.zeros((1, 128), wdtype)
-    for r in range(8):
-        # Mosaic rejects a lane-dim concat whose operands carry
-        # different SUBLANE offsets ("result/input offset mismatch on
-        # non-concat dimension", observed on-chip r4) — a bare
-        # ``o[r:r+1]`` slice keeps implicit sublane offset r.  A STATIC
-        # sublane roll (the cheap shuffle, ROUND_NOTES) re-bases row r
-        # to offset 0 before stacking.
-        rows_n = [pltpu.roll(o, (8 - r) % 8, 0)[:1] for o in outs]
-        rows_n += [zrow] * (rpad - n_out)
-        stk = rows_n[0] if len(rows_n) == 1 \
-            else jnp.concatenate(rows_n, axis=0)     # (rpad, 128)
-        w = jnp.concatenate([stk, zlane], axis=1)    # (rpad, TOT)
-        sv = sv + pltpu.roll(w, offs[r], 1)
-    sout[0] = sv
-    cpw = pltpu.make_async_copy(
-        sout,
-        out_hbm.at[pl.ds(c, 1), :, pl.ds(pl.multiple_of(a0, 128), TOT)],
-        semo)
-    cpw.start()
-    cpw.wait()
+                    a_xx = taps_h[0][jx] * taps_w[1][jy]     # hx*wy
+                    a_yy = taps_w[0][jx] * taps_h[1][jy]     # wx*hy
+                    a_xy = taps_g[0][jx] * taps_g[1][jy]     # gx*gy
+                off = (jx * ext[1] + jy) * ext[2]
+                for jz in range(orders[2] + 1):
+                    idx = base + (off + jz)
+                    val = _gather_rows(tab, idx)
+                    if value:
+                        acc_v = acc_v + (wxy * taps_w[2][jz]) * val
+                    if grad:
+                        acc_d[0] = acc_d[0] + (gxy * taps_w[2][jz]) * val
+                        acc_d[1] = acc_d[1] + (hxy * taps_w[2][jz]) * val
+                        acc_d[2] = acc_d[2] + (wxy * taps_g[2][jz]) * val
+                    if hess:
+                        acc_h[0] = acc_h[0] + (a_xx * taps_w[2][jz]) * val
+                        acc_h[1] = acc_h[1] + (a_yy * taps_w[2][jz]) * val
+                        acc_h[2] = acc_h[2] + (wxy * taps_h[2][jz]) * val
+                        acc_h[3] = acc_h[3] + (a_xy * taps_w[2][jz]) * val
+                        acc_h[4] = acc_h[4] + (gxy * taps_g[2][jz]) * val
+                        acc_h[5] = acc_h[5] + (hxy * taps_g[2][jz]) * val
+        outs = []
+        if value:
+            outs.append(acc_v * valid)
+        if grad:
+            outs.extend(a * valid for a in acc_d)
+        if hess:
+            outs.extend(a * valid for a in acc_h)
+        # merge into the sorted stream: row r's planes, stacked on
+        # sublanes, rolled to lane offset seg[8k+r] - a0 and accumulated
+        # into the RMW'd window (disjoint segment ranges per row; lanes
+        # beyond cnt are zero, so overlapping 128-windows add zeros)
+        cpo.wait()
+        sv = sout[0]                          # (rows_pad, TOT)
+        zlane = jnp.zeros((rpad, TOT - 128), wdtype)
+        zrow = jnp.zeros((1, 128), wdtype)
+        for r in range(8):
+            # Mosaic rejects a lane-dim concat whose operands carry
+            # different SUBLANE offsets ("result/input offset mismatch on
+            # non-concat dimension", observed on-chip r4) — a bare
+            # ``o[r:r+1]`` slice keeps implicit sublane offset r.  A STATIC
+            # sublane roll (the cheap shuffle, ROUND_NOTES) re-bases row r
+            # to offset 0 before stacking.
+            rows_n = [pltpu.roll(o, (8 - r) % 8, 0)[:1] for o in outs]
+            rows_n += [zrow] * (rpad - n_out)
+            stk = rows_n[0] if len(rows_n) == 1 \
+                else jnp.concatenate(rows_n, axis=0)     # (rpad, 128)
+            w = jnp.concatenate([stk, zlane], axis=1)    # (rpad, TOT)
+            sv = sv + pltpu.roll(w, offs[r], 1)
+        sout[0] = sv
+        cpw = pltpu.make_async_copy(
+            sout,
+            out_hbm.at[pl.ds(c, 1), :, pl.ds(pl.multiple_of(a0, 128), TOT)],
+            semo)
+        cpw.start()
+        cpw.wait()
+
+    if roff:
+        # per-block skip (round 5): only a block holding an overflowing
+        # box (count > CAP) does round-2 work, so one hot box no longer
+        # costs a full second kernel pass over every block (the global
+        # host-side cond still skips the launch when NOTHING overflows)
+        over = seg_ref[8 * k + 1] - seg_ref[8 * k]
+        for r in range(1, 8):
+            over = jnp.maximum(over, seg_ref[8 * k + r + 1]
+                               - seg_ref[8 * k + r])
+        pl.when(over > CAP)(body)
+    else:
+        body()
 
 
 def precompute_tables(inp, orders, bounds, box):
@@ -739,6 +764,15 @@ def _scatter_impl(inp, grid, orders, bounds, extrapolate, *,
 # tables are a deterministic linear function of ``inp``, so routing the
 # WHOLE input-gradient through d_inp is exact and the d_pre path is
 # dead by construction.
+#
+# FUSED vjp forwards (round 5): a custom-vjp fwd only runs when
+# differentiating, so it may compute MORE than the primal at marginal
+# cost — the gather kernel emits value+grad (or grad+hess) planes from
+# the same gathers, schedule, tables and return sort.  The extra
+# output rides the residuals and replaces an entire kernel pass in the
+# backward (pull's grad leg, grad's hess leg, push's pull+grad pair).
+# Each fused op (_pullgrad_sc, _gradhess_sc) is itself a custom-vjp op,
+# so no AD order ever meets a raw pallas_call (the round-2 lesson).
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _pull_sc(inp, grid, pre, orders, bounds, extrapolate, box,
@@ -751,12 +785,20 @@ def _pull_sc(inp, grid, pre, orders, bounds, extrapolate, box,
 
 def _pull_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
                  interpret):
-    return _pull_sc(inp, grid, pre, orders, bounds, extrapolate, box,
-                    interpret), (inp, grid, pre)
+    # FUSED forward (round 5): custom-vjp fwd only runs when
+    # differentiating, so compute value AND gradient in ONE kernel pass
+    # (shared gathers, shared schedule, shared return sort — ~+30% over
+    # value-only) and stash g in the residuals: the backward's entire
+    # separate grad pass (kernel + return, ~15 ms at 1M/256^3)
+    # disappears.  _pullgrad_sc is itself a custom-vjp op, so
+    # rev-of-rev never meets a raw pallas_call (the round-2 lesson).
+    val, g = _pullgrad_sc(inp, grid, pre, orders, bounds, extrapolate,
+                          box, interpret)
+    return val, (inp, grid, pre, g)
 
 
 def _pull_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
-    inp, grid, pre = res
+    inp, grid, pre, g = res
     ishape = tuple(inp.shape[1:])
     # d_inp on the NATIVE splat tier (the XLA scatter core is ~7x
     # slower at 1M points); _push_sc evaluates the primal only here —
@@ -764,14 +806,52 @@ def _pull_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
     # The splat prefers its own x-heavy box shape (auto_box_splat).
     d_inp = _push_sc(ct, grid, ishape, orders, bounds, extrapolate,
                      auto_box_splat(ishape, grid.shape[0]), interpret)
-    g = _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
-                 interpret)
     d_grid = (g * ct[..., None]).sum(axis=0)
     return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
             jnp.zeros_like(pre))
 
 
 _pull_sc.defvjp(_pull_sc_fwd, _pull_sc_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _pullgrad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret):
+    """Fused value + spatial gradient in one kernel pass (serves
+    _pull_sc's vjp forward; both outputs share gathers and the return
+    sort)."""
+    val, g, _ = _scatter_impl(inp, grid, orders, bounds, extrapolate,
+                              value=True, grad=True, box=box,
+                              interpret=interpret, pre=pre)
+    return val, g
+
+
+def _pullgrad_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
+                     interpret):
+    val, g = _pullgrad_sc(inp, grid, pre, orders, bounds, extrapolate,
+                          box, interpret)
+    return (val, g), (inp, grid, pre, g)
+
+
+def _pullgrad_sc_bwd(orders, bounds, extrapolate, box, interpret, res,
+                     cts):
+    inp, grid, pre, g = res
+    ct_v, ct_g = cts
+    ishape = tuple(inp.shape[1:])
+    sbox = auto_box_splat(ishape, grid.shape[0])
+    d_inp = (_push_sc(ct_v, grid, ishape, orders, bounds, extrapolate,
+                      sbox, interpret)
+             + _pushgrad_sc(ct_g, grid, ishape, orders, bounds,
+                            extrapolate, sbox, interpret))
+    h = _hess_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret)
+    d_grid = ((g * ct_v[..., None]).sum(axis=0)
+              + (h * ct_g[..., None]).sum(axis=(0, -2)))
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
+            jnp.zeros_like(pre))
+
+
+_pullgrad_sc.defvjp(_pullgrad_sc_fwd, _pullgrad_sc_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -785,27 +865,72 @@ def _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
 
 def _grad_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
                  interpret):
-    return _grad_sc(inp, grid, pre, orders, bounds, extrapolate, box,
-                    interpret), (inp, grid, pre)
+    # FUSED forward (round 5, cf. _pull_sc_fwd): gradient AND Hessian
+    # from one kernel pass; h rides the residuals so the backward's
+    # separate 6-plane hess pass disappears.
+    g, h = _gradhess_sc(inp, grid, pre, orders, bounds, extrapolate,
+                        box, interpret)
+    return g, (inp, grid, pre, h)
 
 
 def _grad_sc_bwd(orders, bounds, extrapolate, box, interpret, res, ct):
-    inp, grid, pre = res
+    inp, grid, pre, h = res
     ishape = tuple(inp.shape[1:])
     # fully native (round-3 third session): d_inp via the
-    # derivative-spec splat kernel, d_grid via the fused Hessian gather
-    # kernel (which reuses inp's precomputed box tables)
+    # derivative-spec splat kernel, d_grid via the Hessian planes the
+    # fused forward already computed
     d_inp = _pushgrad_sc(ct, grid, ishape, orders, bounds, extrapolate,
                          auto_box_splat(ishape, grid.shape[0]),
                          interpret)
-    h = _hess_sc(inp, grid, pre, orders, bounds, extrapolate, box,
-                 interpret)
     d_grid = (h * ct[..., None]).sum(axis=(0, -2))
     return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
             jnp.zeros_like(pre))
 
 
 _grad_sc.defvjp(_grad_sc_fwd, _grad_sc_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _gradhess_sc(inp, grid, pre, orders, bounds, extrapolate, box,
+                 interpret):
+    """Fused spatial gradient + Hessian in one kernel pass (serves
+    _grad_sc's vjp forward)."""
+    _, g, h = _scatter_impl(inp, grid, orders, bounds, extrapolate,
+                            value=False, grad=True, hess=True,
+                            box=box, interpret=interpret, pre=pre)
+    return g, h
+
+
+def _gradhess_sc_fwd(inp, grid, pre, orders, bounds, extrapolate, box,
+                     interpret):
+    g, h = _gradhess_sc(inp, grid, pre, orders, bounds, extrapolate,
+                        box, interpret)
+    return (g, h), (inp, grid, pre, h)
+
+
+def _gradhess_sc_bwd(orders, bounds, extrapolate, box, interpret, res,
+                     cts):
+    from . import ndkernels as nd
+    inp, grid, pre, h = res
+    ct_g, ct_h = cts
+    ishape = tuple(inp.shape[1:])
+    sbox = auto_box_splat(ishape, grid.shape[0])
+    d_inp = (_pushgrad_sc(ct_g, grid, ishape, orders, bounds,
+                          extrapolate, sbox, interpret)
+             + _pushhess_sc(ct_h, grid, ishape, orders, bounds,
+                            extrapolate, sbox, interpret))
+    d_grid = (h * ct_g[..., None]).sum(axis=(0, -2))
+    # the ct_h leg of d_grid needs third derivatives: exact XLA trace
+    # of the generic core (rare path, same as _hess_sc_bwd)
+    prim, vjp_g = jax.vjp(
+        lambda gr: nd.hess_core(inp, gr, tuple(orders), tuple(bounds),
+                                extrapolate), grid)
+    d_grid = d_grid + vjp_g(ct_h.astype(prim.dtype))[0]
+    return (d_inp.astype(inp.dtype), d_grid.astype(grid.dtype),
+            jnp.zeros_like(pre))
+
+
+_gradhess_sc.defvjp(_gradhess_sc_fwd, _gradhess_sc_bwd)
 
 
 def _resolve(inp, grid, orders, bounds, box, pre):
@@ -819,14 +944,16 @@ def _resolve(inp, grid, orders, bounds, box, pre):
 
 
 def _lift_2d(inp, grid, orders, bounds, box):
-    """2-D cloud -> 3-D with a degenerate trailing axis.
+    """Append ONE degenerate trailing axis (2-D -> 3-D; applied twice
+    for 1-D clouds — round 5, closing the last dim gap vs jitfields,
+    reference interpol/jitfields.py:47-114).
 
     The dummy axis carries order 0, box 1, coordinate exactly 0 and a
     size-1 volume axis, so :func:`box_geometry` gives it extent 1 — the
     lift adds ZERO table size or gather-cascade cost (cf. the window
-    tier's 2-D lift, ops/window.py).  Applied OUTSIDE the custom-vjp
-    ops: the lift is plain reshape/concat, so JAX transposes it
-    automatically and every AD order keeps working."""
+    tier's degenerate-axis lift, ops/window.py._lift3).  Applied
+    OUTSIDE the custom-vjp ops: the lift is plain reshape/concat, so
+    JAX transposes it automatically and every AD order keeps working."""
     inp3 = inp[..., None] if inp is not None else None
     g3 = jnp.concatenate([grid, jnp.zeros_like(grid[..., :1])], -1)
     orders3 = tuple(orders) + (0,)
@@ -837,10 +964,10 @@ def _lift_2d(inp, grid, orders, bounds, box):
 
 def pull_scattered(inp, grid, orders, bounds, extrapolate, *,
                    box=None, interpret=False, pre=None):
-    """(C, *ishape), (P, D) -> (C, P), D in (2, 3).  Semantics:
+    """(C, *ishape), (P, D) -> (C, P), D in (1, 2, 3).  Semantics:
     ndkernels.pull_core (reference interpol/nd.py:80-143).  ``pre``:
     precomputed tables (see :func:`precompute_tables`)."""
-    if grid.shape[-1] == 2:
+    for _ in range(3 - grid.shape[-1]):
         inp, grid, orders, bounds, box = _lift_2d(inp, grid, orders,
                                                   bounds, box)
     box, pre = _resolve(inp, grid, orders, bounds, box, pre)
@@ -850,16 +977,16 @@ def pull_scattered(inp, grid, orders, bounds, extrapolate, *,
 
 def grad_scattered(inp, grid, orders, bounds, extrapolate, *,
                    box=None, interpret=False, pre=None):
-    """(C, *ishape), (P, D) -> (C, P, D), D in (2, 3).  Semantics:
+    """(C, *ishape), (P, D) -> (C, P, D), D in (1, 2, 3).  Semantics:
     ndkernels.grad_core (reference interpol/nd.py:216-288)."""
     D = grid.shape[-1]
-    if D == 2:
+    for _ in range(3 - D):
         inp, grid, orders, bounds, box = _lift_2d(inp, grid, orders,
                                                   bounds, box)
     box, pre = _resolve(inp, grid, orders, bounds, box, pre)
     g = _grad_sc(inp, grid, pre, tuple(orders), tuple(bounds),
                  extrapolate, box, interpret)
-    return g[..., :2] if D == 2 else g
+    return g[..., :D]
 
 
 # ----------------------------------------------------------- push/count
@@ -904,7 +1031,11 @@ def _splat_kernel(cx_hbm, cy_hbm, cz_hbm, vv_hbm, seg_ref, out_ref,
     row's (eyzpad, 128) intermediates live and Mosaic stack-allocates
     them all — 17+ MB of scoped VMEM, over the 16 MB limit (observed
     r3).  Invalid slots carry v = 0, which zeroes their A column and
-    with it any garbage in their BT column."""
+    with it any garbage in their BT column.
+
+    ``roff`` > 0 (the overflow round) adds a PER-BLOCK skip (round 5,
+    cf. _gather_kernel): blocks whose 8 boxes all fit their slots
+    write zero patches without doing any splat work."""
     NV = len(spec)
     o0, o1, o2 = orders
     Ez = ext[2]
@@ -914,78 +1045,97 @@ def _splat_kernel(cx_hbm, cy_hbm, cz_hbm, vv_hbm, seg_ref, out_ref,
     TOT = _SLK * 128
 
     scr, vscr, sems = bufs[0:3], bufs[3], bufs[4:]
-    s0 = seg_ref[8 * k] + roff
-    a0 = (s0 // 128) * 128
-    cps = []
-    for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
-        cp = pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(a0, 128), TOT)], s, sems[i])
-        cps.append(cp)
-        cp.start()
-    # values ride as (C, NV, R*128): the channel index lands on a free
-    # leading dim (sublane offsets would need 8-alignment, which c*NV
-    # cannot guarantee)
-    cpv = pltpu.make_async_copy(
-        vv_hbm.at[pl.ds(c, 1), :,
-                  pl.ds(pl.multiple_of(a0, 128), TOT)], vscr, sems[3])
-    cpv.start()
-    for cp in cps:
-        cp.wait()
-    cpv.wait()
 
-    Xi = jax.lax.broadcasted_iota(jnp.int32, (expad, 128), 0)
-    YZi = jax.lax.broadcasted_iota(jnp.int32, (eyzpad, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    lv = max(max(s) for s in spec)
+    def body():
+        s0 = seg_ref[8 * k] + roff
+        a0 = (s0 // 128) * 128
+        cps = []
+        for i, (hbm, s) in enumerate(zip((cx_hbm, cy_hbm, cz_hbm), scr)):
+            cp = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(pl.multiple_of(a0, 128), TOT)], s, sems[i])
+            cps.append(cp)
+            cp.start()
+        # values ride as (C, NV, R*128): the channel index lands on a free
+        # leading dim (sublane offsets would need 8-alignment, which c*NV
+        # cannot guarantee)
+        cpv = pltpu.make_async_copy(
+            vv_hbm.at[pl.ds(c, 1), :,
+                      pl.ds(pl.multiple_of(a0, 128), TOT)], vscr, sems[3])
+        cpv.start()
+        for cp in cps:
+            cp.wait()
+        cpv.wait()
 
-    def row(r, carry):
-        b = k * 8 + r
-        base0 = ((b // (nb[1] * nb[2])) * box[0],
-                 ((b // nb[2]) % nb[1]) * box[1],
-                 (b % nb[2]) * box[2])
-        sr = seg_ref[8 * k + r] + roff
-        ok = ((sr - a0) + CAP <= TOT).astype(jnp.int32)
-        # negative counts (overflow-round rows of non-overflowing
-        # boxes) give an all-false valid mask via lane < cnt
-        cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
-        off = jnp.clip(sr - a0, 0, TOT - 128)
-        g = [pltpu.roll(scr[d][...], TOT - off, 1)[:, :128]
-             for d in range(3)]
-        vrows = pltpu.roll(vscr[0], TOT - off, 1)[:, :128]   # (NV, 128)
-        valid = (lane < cnt).astype(wdtype)
-        taps, locs = [], []
-        for d in range(3):
-            n0, t = node_origin(g[d], orders[d])
-            w, gr, h = bspline_taps(t, orders[d], grad=lv >= 1,
-                                    hess=lv >= 2)
-            taps.append((w, gr, h))
-            locs.append(n0 - (base0[d] - blo[d]))
-        patch = jnp.zeros((expad, eyzpad), wdtype)
-        for i, (dx, dy, dz) in enumerate(spec):
-            vr = vrows[i:i + 1] * valid           # (1, 128)
-            wx, wy, wz = taps[0][dx], taps[1][dy], taps[2][dz]
-            A = jnp.zeros((expad, 128), wdtype)
-            for j in range(o0 + 1):
-                A = A + jnp.where(Xi == locs[0] + j, wx[j] * vr,
-                                  jnp.zeros((), wdtype))
-            BT = jnp.zeros((eyzpad, 128), wdtype)
-            for jy in range(o1 + 1):
-                iy = (locs[1] + jy) * Ez + locs[2]
-                for jz in range(o2 + 1):
-                    BT = BT + jnp.where(YZi == iy + jz,
-                                        wy[jy] * wz[jz],
-                                        jnp.zeros((), wdtype))
-            # HIGHEST: the MXU's default f32 precision is a single
-            # bf16 pass (~3e-3 relative error, observed on-chip r3);
-            # the splat contract is <= 1e-5 vs the scatter core
-            patch = patch + jax.lax.dot_general(
-                A, BT, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=wdtype,
-                precision=jax.lax.Precision.HIGHEST)
-        out_ref[0, r] = patch
-        return carry
+        Xi = jax.lax.broadcasted_iota(jnp.int32, (expad, 128), 0)
+        YZi = jax.lax.broadcasted_iota(jnp.int32, (eyzpad, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        lv = max(max(s) for s in spec)
 
-    jax.lax.fori_loop(0, 8, row, 0)
+        def row(r, carry):
+            b = k * 8 + r
+            base0 = ((b // (nb[1] * nb[2])) * box[0],
+                     ((b // nb[2]) % nb[1]) * box[1],
+                     (b % nb[2]) * box[2])
+            sr = seg_ref[8 * k + r] + roff
+            ok = ((sr - a0) + CAP <= TOT).astype(jnp.int32)
+            # negative counts (overflow-round rows of non-overflowing
+            # boxes) give an all-false valid mask via lane < cnt
+            cnt = jnp.minimum(seg_ref[8 * k + r + 1] - sr, CAP) * ok
+            off = jnp.clip(sr - a0, 0, TOT - 128)
+            g = [pltpu.roll(scr[d][...], TOT - off, 1)[:, :128]
+                 for d in range(3)]
+            vrows = pltpu.roll(vscr[0], TOT - off, 1)[:, :128]   # (NV, 128)
+            valid = (lane < cnt).astype(wdtype)
+            taps, locs = [], []
+            for d in range(3):
+                n0, t = node_origin(g[d], orders[d])
+                w, gr, h = bspline_taps(t, orders[d], grad=lv >= 1,
+                                        hess=lv >= 2)
+                taps.append((w, gr, h))
+                locs.append(n0 - (base0[d] - blo[d]))
+            patch = jnp.zeros((expad, eyzpad), wdtype)
+            for i, (dx, dy, dz) in enumerate(spec):
+                vr = vrows[i:i + 1] * valid           # (1, 128)
+                wx, wy, wz = taps[0][dx], taps[1][dy], taps[2][dz]
+                A = jnp.zeros((expad, 128), wdtype)
+                for j in range(o0 + 1):
+                    A = A + jnp.where(Xi == locs[0] + j, wx[j] * vr,
+                                      jnp.zeros((), wdtype))
+                BT = jnp.zeros((eyzpad, 128), wdtype)
+                for jy in range(o1 + 1):
+                    iy = (locs[1] + jy) * Ez + locs[2]
+                    for jz in range(o2 + 1):
+                        BT = BT + jnp.where(YZi == iy + jz,
+                                            wy[jy] * wz[jz],
+                                            jnp.zeros((), wdtype))
+                # HIGHEST: the MXU's default f32 precision is a single
+                # bf16 pass (~3e-3 relative error, observed on-chip r3);
+                # the splat contract is <= 1e-5 vs the scatter core
+                patch = patch + jax.lax.dot_general(
+                    A, BT, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=wdtype,
+                    precision=jax.lax.Precision.HIGHEST)
+            out_ref[0, r] = patch
+            return carry
+
+        jax.lax.fori_loop(0, 8, row, 0)
+
+    if roff:
+        # per-block skip (round 5, cf. _gather_kernel): a block with no
+        # overflowing box writes zero patches and does no splat work —
+        # the overflow round costs only the overflowing blocks (plus
+        # the epilogue relayout, which is outside the kernel)
+        over = seg_ref[8 * k + 1] - seg_ref[8 * k]
+        for r in range(1, 8):
+            over = jnp.maximum(over, seg_ref[8 * k + r + 1]
+                               - seg_ref[8 * k + r])
+        pl.when(over > CAP)(body)
+
+        @pl.when(over <= CAP)
+        def _zero():
+            out_ref[...] = jnp.zeros(out_ref.shape, wdtype)
+    else:
+        body()
 
 
 def _combine_axis(x, nb_d, b_d, e_d):
@@ -1175,17 +1325,18 @@ def _push_sc_fwd(vals, grid, oshape, orders, bounds, extrapolate, box,
 def _push_sc_bwd(oshape, orders, bounds, extrapolate, box, interpret,
                  res, ct):
     vals, grid = res
-    # ct is resampled twice (pull for d_vals, grad for d_grid): build
-    # its box tables ONCE and share (saves a full 12 ms relayout at
-    # the 1M/256^3 operating point).  Re-derive a GATHER box: the
+    # ct is resampled for both d_vals (pull) and d_grid (grad): ONE
+    # fused kernel pass computes both (round 5 — shared gathers,
+    # schedule, tables AND return sort; previously only the tables were
+    # shared between two separate passes).  Re-derive a GATHER box: the
     # forward's splat box is x-heavy, which can blow up TAB (and with
     # it the gather-cascade cost) for sparse clouds.
     gbox = auto_box(tuple(ct.shape[1:]), grid.shape[0])
-    pre = precompute_tables(ct, tuple(orders), tuple(bounds), gbox)
-    d_vals = pull_scattered(ct, grid, orders, bounds, extrapolate,
-                            box=gbox, interpret=interpret, pre=pre)
-    g = grad_scattered(ct, grid, orders, bounds, extrapolate, box=gbox,
-                       interpret=interpret, pre=pre)   # (C, P, 3)
+    pre = jax.lax.stop_gradient(
+        precompute_tables(ct, tuple(orders), tuple(bounds), gbox))
+    d_vals, g = _pullgrad_sc(ct, grid, pre, tuple(orders),
+                             tuple(bounds), extrapolate, gbox,
+                             interpret)
     d_grid = (g * vals[..., None]).sum(axis=0)
     return (d_vals.astype(vals.dtype), d_grid.astype(grid.dtype))
 
@@ -1238,10 +1389,10 @@ def _pushgrad_sc_bwd(oshape, orders, bounds, extrapolate, box,
     gbox = auto_box(tuple(u.shape[1:]), grid.shape[0])
     pre = jax.lax.stop_gradient(
         precompute_tables(u, tuple(orders), tuple(bounds), gbox))
-    d_ct = _grad_sc(u, grid, pre, tuple(orders), tuple(bounds),
-                    extrapolate, gbox, interpret)
-    h = _hess_sc(u, grid, pre, tuple(orders), tuple(bounds),
-                 extrapolate, gbox, interpret)
+    # ONE fused grad+hess pass on u (round 5; was two separate passes
+    # sharing only the tables)
+    d_ct, h = _gradhess_sc(u, grid, pre, tuple(orders), tuple(bounds),
+                           extrapolate, gbox, interpret)
     d_grid = (h * ct[..., None]).sum(axis=(0, -2))
     return (d_ct.astype(ct.dtype), d_grid.astype(grid.dtype))
 
@@ -1339,10 +1490,10 @@ def pushgrad_scattered(ct, grid, oshape, orders, bounds, extrapolate,
                        *, box=None, interpret=False):
     """Adjoint of :func:`grad_scattered` w.r.t. its input: splat the
     per-point gradient cotangents (C, P, D) into a (C, *oshape) volume
-    with first-derivative taps, D in (2, 3).  Semantics:
+    with first-derivative taps, D in (1, 2, 3).  Semantics:
     ndkernels.pushgrad_core (reference interpol/pushpull.py:176-233)."""
     D = grid.shape[-1]
-    if D == 2:
+    for _ in range(3 - D):
         _, grid, orders, bounds, box = _lift_2d(None, grid, orders,
                                                 bounds, box)
         oshape = tuple(oshape) + (1,)
@@ -1350,38 +1501,38 @@ def pushgrad_scattered(ct, grid, oshape, orders, bounds, extrapolate,
     box = tuple(box or auto_box_splat(tuple(oshape), grid.shape[0]))
     out = _pushgrad_sc(ct, grid, tuple(oshape), tuple(orders),
                        tuple(bounds), extrapolate, box, interpret)
-    return out[..., 0] if D == 2 else out
+    return out.reshape(out.shape[:1 + D])
 
 
 def hess_scattered(inp, grid, orders, bounds, extrapolate, *,
                    box=None, interpret=False, pre=None):
     """(C, *ishape), (P, D) -> (C, P, D, D) spatial Hessians, D in
-    (2, 3), all 9 (4 in 2-D) planes from one fused kernel pass (6
-    unique, mirrored symmetric).  Semantics: ndkernels.hess_core
+    (1, 2, 3), all D*D planes from one fused kernel pass (6 unique in
+    3-D, mirrored symmetric).  Semantics: ndkernels.hess_core
     (reference interpol/pushpull.py:303-325)."""
     D = grid.shape[-1]
-    if D == 2:
+    for _ in range(3 - D):
         inp, grid, orders, bounds, box = _lift_2d(inp, grid, orders,
                                                   bounds, box)
     box, pre = _resolve(inp, grid, orders, bounds, box, pre)
     h = _hess_sc(inp, grid, pre, tuple(orders), tuple(bounds),
                  extrapolate, box, interpret)
-    return h[..., :2, :2] if D == 2 else h
+    return h[..., :D, :D]
 
 
 def push_scattered(vals, grid, oshape, orders, bounds, extrapolate, *,
                    box=None, interpret=False):
-    """(C, P), (P, D) -> (C, *oshape), D in (2, 3).  Semantics:
+    """(C, P), (P, D) -> (C, *oshape), D in (1, 2, 3).  Semantics:
     ndkernels.push_core (reference interpol/nd.py:146-213)."""
     D = grid.shape[-1]
-    if D == 2:
+    for _ in range(3 - D):
         _, grid, orders, bounds, box = _lift_2d(None, grid, orders,
                                                 bounds, box)
         oshape = tuple(oshape) + (1,)
     box = tuple(box or auto_box_splat(tuple(oshape), grid.shape[0]))
     out = _push_sc(vals, grid, tuple(oshape), tuple(orders),
                    tuple(bounds), extrapolate, box, interpret)
-    return out[..., 0] if D == 2 else out
+    return out.reshape(out.shape[:1 + D])
 
 
 def count_scattered(grid, oshape, orders, bounds, extrapolate, *,

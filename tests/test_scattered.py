@@ -561,3 +561,89 @@ def test_scattered_third_order_smoke():
     f_nd = make(lambda v, p: nd.grad_core(v, p, o, b, 1))
     np.testing.assert_allclose(np.asarray(f_sc(pts)),
                                np.asarray(f_nd(pts)), atol=1e-7)
+
+
+# ------------------------------------------------------------ 1-D lift
+
+def cloud1d(P=400, L=300, seed=15, C=2, outside=0.0):
+    rng = np.random.default_rng(seed)
+    inp = jnp.asarray(rng.standard_normal((C, L)))
+    pts = rng.uniform(0.0, L - 1.0, (P, 1))
+    if outside:
+        n_out = int(P * outside)
+        pts[:n_out] = rng.uniform(-3.0, L + 2.0, (n_out, 1))
+    return inp, jnp.asarray(pts)
+
+
+def test_scattered_1d_matches_core():
+    """1-D clouds ride the 3-D kernels via TWO zero-cost degenerate
+    trailing axes (round 5 — last dim gap vs jitfields, reference
+    interpol/jitfields.py:47-114): exact parity for the full op
+    family."""
+    inp, pts = cloud1d(outside=0.2)
+    o, b = (3,), (3,)
+    ref = nd.pull_core(inp, pts, o, b, 1)
+    out = sc.pull_scattered(inp, pts, o, b, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-11)
+
+    refg = nd.grad_core(inp, pts, o, b, 1)
+    outg = sc.grad_scattered(inp, pts, o, b, 1, interpret=True)
+    assert outg.shape == refg.shape == (inp.shape[0], pts.shape[0], 1)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(refg),
+                               atol=1e-11)
+
+    refh = nd.hess_core(inp, pts, o, b, 1)
+    outh = sc.hess_scattered(inp, pts, o, b, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(outh), np.asarray(refh),
+                               atol=1e-11)
+
+    L = inp.shape[1]
+    rng = np.random.default_rng(16)
+    vals = jnp.asarray(rng.standard_normal((2, pts.shape[0])))
+    refp = nd.push_core(vals, pts, (L,), o, b, 1)
+    outp = sc.push_scattered(vals, pts, (L,), o, b, 1, interpret=True)
+    assert outp.shape == refp.shape == (2, L)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(refp),
+                               atol=1e-11)
+
+    ct = jnp.asarray(rng.standard_normal((2, pts.shape[0], 1)))
+    refpg = nd.pushgrad_core(ct, pts, (L,), o, b, 1)
+    outpg = sc.pushgrad_scattered(ct, pts, (L,), o, b, 1,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(outpg), np.asarray(refpg),
+                               atol=1e-11)
+
+    box = sc.auto_box((L,), pts.shape[0])
+    assert len(box) == 1
+    assert sc.auto_box((L, 1, 1), pts.shape[0]) == box + (1, 1)
+
+
+def test_scattered_1d_vjp():
+    """First- and second-order AD through the doubly-lifted tier."""
+    inp, pts = cloud1d(P=200, L=120, seed=17, C=1)
+    o, b = (3,), (3,)
+
+    def loss(v, p):
+        return (sc.pull_scattered(v, p, o, b, 1, interpret=True) ** 2).sum()
+
+    def rloss(v, p):
+        return (nd.pull_core(v, p, o, b, 1) ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1))(inp, pts)
+    r = jax.grad(rloss, argnums=(0, 1))(inp, pts)
+    for a, c in zip(g, r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
+
+    def lossg(v, p):
+        return (sc.grad_scattered(v, p, o, b, 1, interpret=True) ** 2).sum()
+
+    def rlossg(v, p):
+        return (nd.grad_core(v, p, o, b, 1) ** 2).sum()
+
+    gg = jax.grad(lossg, argnums=(0, 1))(inp, pts)
+    rr = jax.grad(rlossg, argnums=(0, 1))(inp, pts)
+    for a, c in zip(gg, rr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
