@@ -141,9 +141,11 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
         ``max_disp`` for tile-smooth fields.  Same graceful-degradation
         failure mode.  Requires ``max_disp``.
     check_spread : bool — opt-in on-device contract check (debug mode):
-        computes the actual per-tile residual spread of this grid and
-        raises on the host if it exceeds ``tile_spread`` (which would
-        otherwise silently drop taps).  Costs one reduction pass.
+        computes the actual per-axis |displacement| of this grid and
+        raises on the host if it exceeds ``max_disp``; with
+        ``tile_spread`` declared it additionally checks the per-tile
+        residual spread (either violation would otherwise silently
+        drop taps).  Costs one or two reduction passes.
 
     Returns
     -------
@@ -166,7 +168,7 @@ def grid_pull(input, grid, interpolation="linear", bound="zero",
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
-        if check_spread and tile_spread is not None:
+        if check_spread:
             _check_spread(grid, inp.shape[2:], tile_spread, max_disp)
         out = _window_pull_dispatch(inp, grid, orders, bounds, ex,
                                     max_disp, tile_spread)
@@ -220,16 +222,51 @@ def _raise_spread_violation(excess, measured, spread=None):
             f"Raise tile_spread (see required_tile_spread) or drop it.")
 
 
+def _disp_violation(grid_b, ishape, max_disp):
+    """Traced per-axis excess of the raw |displacement| of a dense
+    (B, *sp, D) grid over the declared ``max_disp`` — the plain
+    windowed-contract check (round-4 verdict: ``max_disp`` itself was
+    previously on trust; violating samples silently lose out-of-window
+    taps).  Returns (excess (D,), measured (D,))."""
+    D = grid_b.shape[-1]
+    md = _md_norm(max_disp)
+    md = md if isinstance(md, tuple) else (md,) * D
+    iota = jnp.stack([jax.lax.broadcasted_iota(grid_b.dtype,
+                                               tuple(ishape), d)
+                      for d in range(D)], -1)
+    measured = jnp.abs(grid_b - iota[None]).max(
+        axis=tuple(range(grid_b.ndim - 1)))
+    return measured - jnp.asarray(md, grid_b.dtype), measured
+
+
+def _raise_disp_violation(excess, measured, max_disp=None):
+    import numpy as _np
+    if bool(_np.any(_np.asarray(excess) > 0)):
+        raise RuntimeError(
+            f"windowed-contract VIOLATED: measured per-axis "
+            f"|displacement| {tuple(_np.round(_np.asarray(measured), 4))} "
+            f"exceeds the declared max_disp {max_disp}; the windowed "
+            f"kernel silently drops out-of-window taps for such "
+            f"samples.  Raise max_disp or drop it (gather fallback).")
+
+
 def _check_spread(grid_b, ishape, tile_spread, max_disp):
-    """Opt-in on-device contract check (grid_pull/grid_grad
-    ``check_spread=True``): computes the residual spread on device and
-    raises on the host when the declared bound is violated (the
-    callback exception surfaces when the computation is consumed)."""
+    """Opt-in on-device contract check (grid_pull/grid_grad/grid_push
+    ``check_spread=True``): validates the raw ``max_disp`` bound
+    always, plus the per-tile residual spread when ``tile_spread`` is
+    declared; raises on the host when violated (the callback exception
+    surfaces when the computation is consumed)."""
+    from functools import partial as _partial
+    excess_d, measured_d = _disp_violation(grid_b, ishape, max_disp)
+    jax.debug.callback(_partial(_raise_disp_violation,
+                                max_disp=_md_norm(max_disp)),
+                       excess_d, measured_d)
+    if tile_spread is None:
+        return
     from .pallas_warp import default_tile
     tile = default_tile(tuple(ishape)) or (8, 128)
     excess, measured = _spread_violation(grid_b, ishape, tile,
                                          tile_spread, max_disp)
-    from functools import partial as _partial
     jax.debug.callback(_partial(_raise_spread_violation,
                                 spread=_md_norm(tile_spread)),
                        excess, measured)
@@ -300,12 +337,12 @@ def _label_pull(input, grid, orders, bounds, ex, prefilter, classes,
 
 def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
               extrapolate=False, prefilter=False, *, max_disp=None,
-              tile_spread=None):
+              tile_spread=None, check_spread=False):
     """Splat an image at the positions of a deformation field (pull
     adjoint).  Reference api.py:215-262.  ``max_disp`` enables the
     windowed fast path when the output shape equals the grid shape;
-    ``tile_spread`` the adaptive per-tile splat windows (see
-    grid_pull)."""
+    ``tile_spread`` the adaptive per-tile splat windows and
+    ``check_spread`` the on-device contract check (see grid_pull)."""
     input = jnp.asarray(input)
     grid = jnp.asarray(grid)
     D = grid.shape[-1]
@@ -320,6 +357,8 @@ def grid_push(input, grid, shape=None, interpolation="linear", bound="zero",
     shape = tuple(int(s) for s in shape)
     if (max_disp is not None and shape == tuple(inp.shape[2:])
             and tuple(grid.shape[1:-1]) == shape):
+        if check_spread:
+            _check_spread(grid, shape, tile_spread, max_disp)
         sp = None if tile_spread is None else _md_norm(tile_spread)
         f = lambda v, g: _window.push_window(v, g, orders, bounds, ex,
                                              _md_norm(max_disp), sp)
@@ -374,7 +413,7 @@ def grid_grad(input, grid, interpolation="linear", bound="zero",
     if prefilter:
         inp = _coeff.spline_coeff_nd(inp, orders, bounds, D)
     if _use_window(max_disp, grid, inp):
-        if check_spread and tile_spread is not None:
+        if check_spread:
             _check_spread(grid, inp.shape[2:], tile_spread, max_disp)
         sp = None if tile_spread is None else _md_norm(tile_spread)
         f = lambda v, g: _window.grad_window(v, g, orders, bounds, ex,

