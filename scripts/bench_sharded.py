@@ -229,6 +229,45 @@ def bench_points(op_name, P=200_000, n=64, ndev=8, order=3):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "weak":
+        # WEAK scaling (round-4 verdict #6): the per-device slab is
+        # FIXED (n_loc x 64 x 64) and the global volume grows with
+        # ndev — the regime slab sharding exists for (a volume too
+        # large for one device).  Ideal on the 1-usable-core host:
+        # total time = ndev * local_ref (threads serialize); with real
+        # parallel devices: total = local_ref + halo cost.
+        n_loc = 16
+        for op in ("pull", "grad", "push"):
+            for ndev in (2, 4, 8):
+                n = n_loc * ndev
+                dt, gvox = bench_sharded_op(op, n=n, ndev=ndev)
+                loc = bench_local_window(op, n_loc)
+                record({
+                    "key": f"sharded_weak_{op}_nloc{n_loc}_d{ndev}",
+                    "op": f"{op}_sharded_window_weak", "n": n,
+                    "n_loc": n_loc, "ndev": ndev, "order": 3,
+                    "max_disp": 1.5,
+                    "total_ms": round(dt * 1e3, 3),
+                    "gvox_s": round(gvox, 4),
+                    "local_ref_ms": round(loc * 1e3, 3),
+                    "serialized_overhead_ratio":
+                        round(dt / (ndev * loc), 3),
+                }, harness="sharded_cpu_mesh_r5")
+        P_loc = 50_000
+        for op in ("pull", "push"):
+            for ndev in (2, 4, 8):
+                P = P_loc * ndev
+                dt, dtl = bench_points(op, P=P, n=64, ndev=ndev)
+                record({
+                    "key": f"sharded_weak_points_{op}_Ploc50k_d{ndev}",
+                    "op": f"{op}_points_sharded_weak", "points": P,
+                    "size": 64, "ndev": ndev, "order": 3,
+                    "total_ms": round(dt * 1e3, 3),
+                    "local_ref_ms": round(dtl * 1e3, 3),
+                    "serialized_overhead_ratio":
+                        round(dt / (ndev * dtl), 3),
+                }, harness="sharded_points_r5")
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "points":
         P, n = 200_000, 64
         for op in ("pull", "push"):

@@ -13,7 +13,7 @@ lengths) — cancels the tunnel's dispatch floor, sync latency, and
 value-level result caching.  Round-1 rows in the JSONL used a
 dispatch-exposed harness and are superseded.
 
-Usage:  python scripts/bench_suite.py [quick|full|step]
+Usage:  python scripts/bench_suite.py [quick|full|step|scattered|second]
 """
 import itertools
 import json
@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scripts_common import wait_healthy, slope_time  # noqa: E402
 
-HARNESS = "slope_fori_r4"  # bumped per kernel-generation: re-measures all keys
+HARNESS = "slope_fori_r5"  # bumped per kernel-generation: re-measures all keys
 # r3c: third-gen splat kernels (kernel-side value DMA, native pushgrad
 # backward), doctrine-#5 perturbation fixes in the scattered chains.
 # r3d: scattered-tier overflow round (lax.cond second pass when a box
@@ -43,6 +43,11 @@ HARNESS = "slope_fori_r4"  # bumped per kernel-generation: re-measures all keys
 # user order, NO per-point gather — lab-8: gathers are ~7 ms/1M
 # regardless of index order, sorts ~1.5 ms regardless of width);
 # per-ROW (was per-block) DMA-window fallback predicate.
+# r5: fused custom-vjp forwards on the scattered tier (pull's vjp fwd
+# computes value+grad in ONE kernel pass, grad's fwd grad+hess; the
+# backward's separate gather pass disappears); per-BLOCK overflow-round
+# skip; native Pallas hess/pushgrad window kernels (second-order rows);
+# self-normalizing coeff chain (values stay finite — r4 advisor).
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_SUITE.jsonl")
 
@@ -94,10 +99,12 @@ def bench_op(op, n, order, dtype_name, max_disp=2.0):
     o, b = (order,) * 3, (3,) * 3
     if op == "coeff":
         # very fast op: widen the chain-length contrast so the slope
-        # rises above queue noise
+        # rises above queue noise; self-normalizing body (r4 advisor:
+        # the cubic inverse prefilter gains ~27x per application, so an
+        # undamped chain overflows fp32 around iteration ~30)
         dt, _ = _adaptive_slope(
-            lambda c: (cf.spline_coeff_nd(c[0], o, b, 3),), (vol,),
-            R1=2, R2=62)
+            lambda c: (cf.spline_coeff_nd(c[0], o, b, 3) * 0.0370,),
+            (vol,), R1=2, R2=62)
         return dt
 
     ident = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
@@ -269,12 +276,15 @@ def bench_scattered(kind, P=1_000_000, N=256):
     return dt, xgpt
 
 
-def bench_step(n):
-    """Full warp-MSE value_and_grad training step (flagship model)."""
+def bench_step(n, adaptive=False):
+    """Full warp-MSE value_and_grad training step (flagship model);
+    ``adaptive``: tile_spread="auto" per-tile windows (the flow is
+    coarse-upsampled, hence tile-smooth by construction)."""
     from interpol_tpu.models import WarpModel
     rng = np.random.default_rng(0)
+    kw = dict(tile_spread="auto") if adaptive else {}
     model = WarpModel(vol_shape=(n, n, n), coarse_shape=(8, 8, 8),
-                      interpolation=3, bound="dct2")
+                      interpolation=3, bound="dct2", **kw)
     params = model.init_params(1) + 0.01
     moving = jnp.asarray(
         rng.standard_normal((1, 1, n, n, n)).astype(np.float32))
@@ -287,6 +297,33 @@ def bench_step(n):
         return (p - 0.1 * g,)
 
     dt, _ = slope_time(body, (params,))
+    return dt
+
+
+def bench_grad_vjp(n, md=2.0):
+    """jax.grad THROUGH grid_grad at full volume — the
+    Jacobian-determinant / bending-energy regularizer backward, which
+    evaluates pushgrad_window + hess_window (native Pallas kernels,
+    round 5) at n^3.  The round-4 verdict's tracked number for the
+    second-order production path (previously the XLA formulation OOM'd
+    at 256^3)."""
+    from interpol_tpu.ops import window as wdm
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.standard_normal((1, n, n, n)).astype(np.float32))
+    ident = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
+                     -1).astype(np.float32)
+    grid = jnp.asarray(ident + rng.uniform(-md, md, ident.shape)
+                       .astype(np.float32))
+    o, b = (3,) * 3, (3,) * 3
+
+    def loss(v, g2):
+        return (wdm.grad_window(v, g2, o, b, 1, md) ** 2).sum()
+
+    def body(c):
+        gv, gg = jax.grad(loss, argnums=(0, 1))(c[0], c[1])
+        return (c[0] + 1e-9 * gv, c[1] + 1e-9 * gg)
+
+    dt, _ = slope_time(body, (vol, grid))
     return dt
 
 
@@ -311,6 +348,39 @@ def main():
                     "ms": round(secs * 1e3, 3), "gpt_s": round(gpt, 4),
                     "xla_core_gpt_s": round(xgpt, 5),
                     "speedup_vs_xla": round(gpt / xgpt, 1),
+                    "health_s": round(h, 2)})
+        return
+    if mode == "second":
+        # second-order + flagship-at-256 rows (round-4 verdict #1/#8)
+        skip = done_keys()
+        for n in [128, 256]:
+            key = f"grad_vjp_{n}_3_fp32"
+            if key in skip:
+                continue
+            try:
+                h = wait_healthy()
+                secs = bench_grad_vjp(n)
+            except Exception as e:
+                record({"key": key, "error": str(e)[:200]})
+                continue
+            record({"key": key, "op": "grad_vjp", "size": n, "order": 3,
+                    "dtype": "fp32", "ms": round(secs * 1e3, 3),
+                    "gvox_s": round(n ** 3 / secs / 1e9, 4),
+                    "health_s": round(h, 2)})
+        for n, adaptive in [(256, False), (256, True)]:
+            key = f"step_{n}_3_fp32" + ("_adaptive" if adaptive else "")
+            if key in skip:
+                continue
+            try:
+                h = wait_healthy()
+                secs = bench_step(n, adaptive=adaptive)
+            except Exception as e:
+                record({"key": key, "error": str(e)[:200]})
+                continue
+            record({"key": key, "op": "train_step", "size": n,
+                    "order": 3, "dtype": "fp32",
+                    "adaptive": adaptive,
+                    "ms": round(secs * 1e3, 3),
                     "health_s": round(h, 2)})
         return
     if mode == "quick":
