@@ -116,6 +116,27 @@ def main():
           f"[{float(det.min()):.3f}, {float(det.max()):.3f}], "
           f"inverse-consistency {inv_err:.4f}")
 
+    # --- Jacobian-determinant regularization (second order) ----------
+    # penalizing (det J - 1)^2 differentiates THROUGH grid_grad: the
+    # training backward evaluates the native second-order kernels
+    # (pushgrad/hess windows) at full volume — on TPU this runs at
+    # 256^3 (BASELINE.md round-5 rows); here a small dense-field demo.
+    import jax
+
+    u0 = 0.5 * jnp.tanh(jnp.asarray(
+        np.random.default_rng(7).standard_normal(shape + (3,))
+        .astype(np.float32)))
+
+    def reg_loss(u):
+        det = jacobian_det(u[None])
+        return jnp.mean((det - 1.0) ** 2)
+
+    g = jax.jit(jax.grad(reg_loss))(u0)
+    u1 = u0 - 5.0 * g
+    print(f"jacdet regularizer: loss {float(reg_loss(u0)):.5f} -> "
+          f"{float(reg_loss(u1)):.5f} after one step "
+          f"(|dL/du|_max {float(jnp.abs(g).max()):.4f})")
+
 
 if __name__ == "__main__":
     main()

@@ -55,11 +55,13 @@ def record(entry, harness="sharded_cpu_mesh_r3"):
     print(json.dumps(entry), flush=True)
 
 
-def data(n, max_disp=1.5, seed=0):
+def data(n, max_disp=1.5, seed=0, ny=None):
+    ny = ny or n
     rng = np.random.default_rng(seed)
-    vol = jnp.asarray(rng.standard_normal((1, 1, n, n, n))
+    vol = jnp.asarray(rng.standard_normal((1, 1, n, ny, ny))
                       .astype(np.float32))
-    ident = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
+    ident = np.stack(np.meshgrid(np.arange(n), np.arange(ny),
+                                 np.arange(ny), indexing="ij"),
                      -1).astype(np.float32)
     grid = jnp.asarray(
         (ident + rng.uniform(-max_disp, max_disp, ident.shape))[None]
@@ -67,11 +69,13 @@ def data(n, max_disp=1.5, seed=0):
     return vol, grid
 
 
-def bench_sharded_op(op_name, n=64, ndev=8, order=3, max_disp=1.5):
+def bench_sharded_op(op_name, n=64, ndev=8, order=3, max_disp=1.5,
+                     ny=None):
     from interpol_tpu.parallel import spatial as sp
 
     o, b = (order,) * 3, (3,) * 3
-    vol, grid = data(n, max_disp)
+    vol, grid = data(n, max_disp, ny=ny)
+    oshape = tuple(vol.shape[2:])
     mesh = Mesh(np.array(jax.devices()[:ndev]), ("x",))
 
     if op_name == "pull":
@@ -79,7 +83,7 @@ def bench_sharded_op(op_name, n=64, ndev=8, order=3, max_disp=1.5):
             v, g, o, b, 1, mesh=mesh, max_disp=max_disp, use_window=True)
     elif op_name == "push":
         f = lambda v, g: sp.push_sharded(
-            v, g, (n,) * 3, o, b, 1, mesh=mesh, max_disp=max_disp,
+            v, g, oshape, o, b, 1, mesh=mesh, max_disp=max_disp,
             use_window=True)
     else:
         f = lambda v, g: sp.grad_sharded(
@@ -96,7 +100,7 @@ def bench_sharded_op(op_name, n=64, ndev=8, order=3, max_disp=1.5):
         return (out, c[1])
 
     dt, _ = slope_time(body, (vol, grid), R1=2, R2=16, iters=3)
-    gvox = n ** 3 / dt / 1e9
+    gvox = np.prod(vol.shape[2:]) / dt / 1e9
     return dt, gvox
 
 
@@ -231,8 +235,8 @@ def bench_points(op_name, P=200_000, n=64, ndev=8, order=3):
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "weak":
         # WEAK scaling (round-4 verdict #6): the per-device slab is
-        # FIXED (n_loc x 64 x 64) and the global volume grows with
-        # ndev — the regime slab sharding exists for (a volume too
+        # FIXED ((n_loc, 64, 64) — only the SHARDED axis grows with
+        # ndev) — the regime slab sharding exists for (a volume too
         # large for one device).  Ideal on the 1-usable-core host:
         # total time = ndev * local_ref (threads serialize); with real
         # parallel devices: total = local_ref + halo cost.
@@ -240,12 +244,12 @@ def main():
         for op in ("pull", "grad", "push"):
             for ndev in (2, 4, 8):
                 n = n_loc * ndev
-                dt, gvox = bench_sharded_op(op, n=n, ndev=ndev)
+                dt, gvox = bench_sharded_op(op, n=n, ndev=ndev, ny=64)
                 loc = bench_local_window(op, n_loc)
                 record({
-                    "key": f"sharded_weak_{op}_nloc{n_loc}_d{ndev}",
+                    "key": f"sharded_weak_{op}_slab16x64x64_d{ndev}",
                     "op": f"{op}_sharded_window_weak", "n": n,
-                    "n_loc": n_loc, "ndev": ndev, "order": 3,
+                    "ny": 64, "n_loc": n_loc, "ndev": ndev, "order": 3,
                     "max_disp": 1.5,
                     "total_ms": round(dt * 1e3, 3),
                     "gvox_s": round(gvox, 4),
