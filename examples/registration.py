@@ -111,7 +111,9 @@ def main():
         p, loss = svf_train_step(svf, p, moving, fixed, lr=2.0)
     det = jacobian_det(svf.flow(p))
     back = svf.warp(p, svf.warp(p, moving), inverse=True)
-    inv_err = float(jnp.abs(back - moving)[:, :, 8:-8, 8:-8, 8:-8].max())
+    m = [max(1, n // 4) for n in shape]       # interior (skip edge taps)
+    inv_err = float(jnp.abs(back - moving)[:, :, m[0]:-m[0],
+                                           m[1]:-m[1], m[2]:-m[2]].max())
     print(f"svf: mse {float(loss):.6f}, det J in "
           f"[{float(det.min()):.3f}, {float(det.max()):.3f}], "
           f"inverse-consistency {inv_err:.4f}")
@@ -121,8 +123,6 @@ def main():
     # training backward evaluates the native second-order kernels
     # (pushgrad/hess windows) at full volume — on TPU this runs at
     # 256^3 (BASELINE.md round-5 rows); here a small dense-field demo.
-    import jax
-
     u0 = 0.5 * jnp.tanh(jnp.asarray(
         np.random.default_rng(7).standard_normal(shape + (3,))
         .astype(np.float32)))
