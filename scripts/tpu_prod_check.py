@@ -5,6 +5,7 @@ doctrine on this device tunnel).
 
 Usage: python scripts/tpu_prod_check.py [N] [ops...]
 ops: parity pull grad push coeff step pushwide autodiff scattered
+     splat second_order second_order_prod
 """
 import sys
 import time
